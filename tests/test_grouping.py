@@ -1,0 +1,207 @@
+"""Grouping engine vs a numpy oracle implementing the reference DisjointSet
+semantics (reference seggroup/model.py:169-258): sequential edge-order merges,
+label-conflict guard, -l1*l2 label propagation, small-cluster absorption."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from seggroup_tpu.ops import grouping as gr
+
+
+class OracleDS:
+    def __init__(self, ins, sem, counts):
+        self.n = len(ins)
+        self.root = np.arange(self.n)
+        self.ins = np.array(ins)
+        self.sem = np.array(sem)
+        self.pn = np.array(counts, dtype=np.int64)
+
+    def find(self, i):
+        return self.root[i]
+
+    def union(self, r1, r2):
+        if r1 == r2:
+            return False
+        if self.ins[r1] != -1 and self.ins[r2] != -1 and self.ins[r1] != self.ins[r2]:
+            return False
+        self.root[self.root == r1] = r2
+        self.pn[r2] += self.pn[r1]
+        if self.ins[r1] != self.ins[r2]:
+            self.ins[r2] = -self.ins[r1] * self.ins[r2]
+            self.sem[r2] = -self.sem[r1] * self.sem[r2]
+        return True
+
+
+def oracle_group_nearby(ds, edges, dists, th, min_points=5):
+    for (a, b), d in zip(edges, dists):
+        if d > th:
+            continue
+        ds.union(ds.find(a), ds.find(b))
+    while True:
+        merged = False
+        for a, b in edges:
+            r1, r2 = ds.find(a), ds.find(b)
+            if r1 == r2:
+                continue
+            if ds.pn[r1] < min_points or ds.pn[r2] < min_points:
+                merged |= ds.union(r1, r2)
+        if not merged:
+            break
+    connected = np.array([ds.find(a) == ds.find(b) for a, b in edges])
+    return ds, connected
+
+
+def make_graph(rng, s=16, n_pts=400):
+    point2seg = rng.integers(0, s, size=n_pts).astype(np.int32)
+    ins = np.full(s, -1, np.int32)
+    sem = np.full(s, -1, np.int32)
+    labeled = rng.choice(s, size=4, replace=False)
+    for j, seg in enumerate(labeled):
+        ins[seg] = j
+        sem[seg] = int(rng.integers(0, 20))
+    g = gr.init_graph(jnp.array(point2seg), jnp.array(ins), jnp.array(sem), s)
+    counts = np.bincount(point2seg, minlength=s)
+    return g, ins, sem, counts, point2seg
+
+
+def random_edges(rng, s, n_edges):
+    e = rng.integers(0, s, size=(n_edges, 2)).astype(np.int32)
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    key = lo * s + hi
+    _, first = np.unique(key, return_index=True)
+    e = np.stack([lo, hi], 1)[np.sort(first)]
+    order = np.lexsort((e[:, 1], e[:, 0]))
+    return e[order]
+
+
+def canon(root, valid_slots):
+    """Canonical partition signature: set of frozensets of slots."""
+    groups = {}
+    for i in valid_slots:
+        groups.setdefault(root[i], set()).add(i)
+    return {frozenset(v) for v in groups.values()}
+
+
+def test_group_nearby_matches_oracle(rng):
+    for trial in range(10):
+        s = 16
+        g, ins, sem, counts, _ = make_graph(rng, s=s)
+        edges = random_edges(rng, s, 40)
+        # drop edges touching empty segments (the real pipeline never has them)
+        nonempty = counts > 0
+        edges = edges[nonempty[edges[:, 0]] & nonempty[edges[:, 1]]]
+        e_pad = 64
+        ev = np.zeros(e_pad, bool)
+        ev[: len(edges)] = True
+        e_arr = np.zeros((e_pad, 2), np.int32)
+        e_arr[: len(edges)] = edges
+        dists = rng.random(e_pad).astype(np.float32) * 10
+
+        ds = OracleDS(ins, sem, counts)
+        ds_out, conn_oracle = oracle_group_nearby(ds, edges, dists[: len(edges)], 5.0)
+
+        g_out, conn = gr.group_nearby_clusters(
+            g, jnp.array(e_arr), jnp.array(ev), jnp.array(dists), 5.0
+        )
+        root = np.asarray(g_out.root)
+        valid_slots = np.where(nonempty)[0]
+        assert canon(root, valid_slots) == canon(ds_out.root, valid_slots)
+        np.testing.assert_array_equal(
+            np.asarray(conn)[: len(edges)], conn_oracle
+        )
+        # labels/point counts agree at roots
+        for i in valid_slots:
+            r_ours, r_oracle = root[i], ds_out.find(i)
+            assert np.asarray(g_out.ins_label)[r_ours] == ds_out.ins[r_oracle]
+            assert np.asarray(g_out.sem_label)[r_ours] == ds_out.sem[r_oracle]
+            assert np.asarray(g_out.point_num)[r_ours] == ds_out.pn[r_oracle]
+
+
+def test_label_conflict_guard():
+    # two labeled segments with different instances must never merge
+    point2seg = jnp.array([0] * 10 + [1] * 10, dtype=jnp.int32)
+    ins = jnp.array([0, 1, -1, -1], dtype=jnp.int32)
+    sem = jnp.array([3, 5, -1, -1], dtype=jnp.int32)
+    g = gr.init_graph(point2seg, ins, sem, 4)
+    edges = jnp.array([[0, 1], [0, 0]], dtype=jnp.int32)
+    ev = jnp.array([True, False])
+    dists = jnp.array([0.0, 0.0], dtype=jnp.float32)
+    g2, conn = gr.group_nearby_clusters(g, edges, ev, dists, th=10.0)
+    assert np.asarray(g2.root)[0] == 0 and np.asarray(g2.root)[1] == 1
+    assert not np.asarray(conn)[0]
+
+
+def test_label_propagation_on_merge():
+    point2seg = jnp.array([0] * 10 + [1] * 10, dtype=jnp.int32)
+    ins = jnp.array([4, -1], dtype=jnp.int32)
+    sem = jnp.array([7, -1], dtype=jnp.int32)
+    g = gr.init_graph(point2seg, ins, sem, 2)
+    edges = jnp.array([[0, 1]], dtype=jnp.int32)
+    g2, _ = gr.group_nearby_clusters(
+        g, edges, jnp.array([True]), jnp.array([0.0], jnp.float32), th=1.0
+    )
+    r = int(np.asarray(g2.root)[0])
+    assert np.asarray(g2.ins_label)[r] == 4
+    assert np.asarray(g2.sem_label)[r] == 7
+    assert np.asarray(g2.point_num)[r] == 20
+
+
+def test_normalize_edges_sorted_dedup():
+    point2seg = jnp.array([0, 1, 2, 3] * 5, dtype=jnp.int32)
+    g = gr.init_graph(
+        point2seg, jnp.full(4, -1, jnp.int32), jnp.full(4, -1, jnp.int32), 4
+    )
+    # merge 2 into 3
+    g = g._replace(root=jnp.array([0, 1, 3, 3], dtype=jnp.int32))
+    edges = jnp.array([[2, 0], [3, 0], [1, 2], [2, 3]], dtype=jnp.int32)
+    ev = jnp.ones(4, bool)
+    e2, v2 = gr.normalize_edges(g, edges, ev)
+    e2, v2 = np.asarray(e2), np.asarray(v2)
+    got = e2[v2].tolist()
+    assert got == [[0, 3], [1, 3]]  # deduped, sorted, self-edge dropped
+
+
+def test_small_cluster_absorption():
+    # a 3-point segment adjacent to a large one must be absorbed even above th
+    point2seg = jnp.array([0] * 3 + [1] * 50, dtype=jnp.int32)
+    g = gr.init_graph(
+        point2seg, jnp.full(2, -1, jnp.int32), jnp.full(2, -1, jnp.int32), 2
+    )
+    edges = jnp.array([[0, 1]], dtype=jnp.int32)
+    g2, conn = gr.group_nearby_clusters(
+        g, edges, jnp.array([True]), jnp.array([999.0], jnp.float32), th=1.0
+    )
+    assert np.asarray(g2.root)[0] == np.asarray(g2.root)[1]
+    assert np.asarray(conn)[0]
+
+
+def test_group_unlabeled_absorbs_everything(rng):
+    s = 8
+    point2seg = rng.integers(0, s, size=200).astype(np.int32)
+    ins = np.full(s, -1, np.int32)
+    sem = np.full(s, -1, np.int32)
+    ins[0], sem[0] = 0, 3
+    ins[5], sem[5] = 1, 9
+    g = gr.init_graph(jnp.array(point2seg), jnp.array(ins), jnp.array(sem), s)
+    # chain adjacency 0-1-2-3-4-5, plus 6,7 isolated (spatial fallback path)
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 4], [4, 5]], np.int32)
+    e_pad = 16
+    e_arr = np.zeros((e_pad, 2), np.int32)
+    e_arr[: len(edges)] = edges
+    ev = np.zeros(e_pad, bool)
+    ev[: len(edges)] = True
+    feat = rng.normal(size=(s, 4)).astype(np.float32)
+    points = rng.normal(size=(200, 3)).astype(np.float32)
+
+    g2, feat2, e2, ev2 = gr.group_unlabeled_clusters(
+        g, jnp.array(feat), jnp.array(e_arr), jnp.array(ev),
+        jnp.array(points), jnp.array(point2seg),
+    )
+    act = np.asarray(gr.active_mask(g2))
+    ins2 = np.asarray(g2.ins_label)
+    # every active cluster ends up labeled
+    assert all(ins2[i] != -1 for i in np.where(act)[0])
+    # exactly the two instances survive
+    assert sorted(ins2[act].tolist()) == [0, 1]

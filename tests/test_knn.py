@@ -1,0 +1,101 @@
+import jax.numpy as jnp
+import numpy as np
+
+from seggroup_tpu.ops.knn import ball_query, cluster_knn, knn_brute, masked_knn
+
+
+def gram_sqdist(pts):
+    """Same |x|^2 - 2<x,y> + |y|^2 f32 formulation as the kernel (and as the
+    reference, seggroup/model.py:31-33), so near-ties resolve identically."""
+    xx = (pts * pts).sum(-1, keepdims=True).astype(np.float32)
+    d = xx - 2.0 * (pts @ pts.T).astype(np.float32) + xx.T
+    return np.maximum(d, 0.0)
+
+
+def knn_oracle(pts, k, mask=None):
+    d = gram_sqdist(pts)
+    if mask is not None:
+        d = np.where(mask[None, :], d, 1e30)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def _same_neighbor_sets(got, want, pts):
+    """Compare kNN results by distance multiset (ties may reorder indices)."""
+    d = gram_sqdist(pts)
+    for i in range(got.shape[0]):
+        dg = np.sort(d[i, got[i]])
+        dw = np.sort(d[i, want[i]])
+        np.testing.assert_allclose(dg, dw, rtol=1e-4, atol=1e-5)
+
+
+def test_knn_brute(rng):
+    pts = rng.normal(size=(1, 50, 3)).astype(np.float32)
+    got = np.asarray(knn_brute(jnp.array(pts), 5))[0]
+    want = knn_oracle(pts[0], 5)
+    _same_neighbor_sets(got, want, pts[0])
+    # self is always the nearest neighbor
+    assert (got[:, 0] == np.arange(50)).all()
+
+
+def test_masked_knn(rng):
+    pts = rng.normal(size=(1, 40, 3)).astype(np.float32)
+    valid = np.ones((1, 40), bool)
+    valid[0, 30:] = False
+    got = np.asarray(masked_knn(jnp.array(pts), jnp.array(valid), 4))[0]
+    assert (got[:30] < 30).all()
+
+
+def test_cluster_knn(rng):
+    n, k = 256, 6
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cid = rng.integers(0, 5, size=n).astype(np.int32)
+    got = np.asarray(
+        cluster_knn(jnp.array(pts), jnp.array(cid), k=k, row_block=64,
+                    col_block=64, window=256)
+    )
+    dmat = gram_sqdist(pts)
+    for i in range(n):
+        same = cid == cid[i]
+        d = np.where(same, dmat[i], 1e30)
+        want = np.sort(d)[:k]
+        have = np.sort(dmat[i, got[i]])
+        if same.sum() >= k:
+            np.testing.assert_allclose(have, want, rtol=1e-4, atol=1e-5)
+            assert (cid[got[i]] == cid[i]).all()
+        else:
+            # under-filled rows fall back to self
+            assert (cid[got[i]] == cid[i]).all()
+
+
+def test_cluster_knn_tiny_cluster(rng):
+    n = 64
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cid = np.zeros(n, np.int32)
+    cid[:2] = 7  # a 2-point cluster
+    got = np.asarray(
+        cluster_knn(jnp.array(pts), jnp.array(cid), k=4, row_block=32,
+                    col_block=32, window=64)
+    )
+    # the 2-point cluster's rows only reference its own members
+    assert set(got[0]).issubset({0, 1})
+    assert set(got[1]).issubset({0, 1})
+
+
+def test_ball_query(rng):
+    n = 128
+    pts = (rng.random(size=(n, 3)) * 2.0).astype(np.float32)
+    batch = np.zeros(n, np.int32)
+    batch[64:] = 1
+    valid = np.ones(n, bool)
+    r = 0.25
+    nbrs, counts, overflow = ball_query(
+        jnp.array(pts), r, jnp.array(batch), jnp.array(valid),
+        max_neighbors=32, bucket_cap=32,
+    )
+    nbrs, counts = np.asarray(nbrs), np.asarray(counts)
+    for i in range(n):
+        d = ((pts - pts[i]) ** 2).sum(-1)
+        want = set(np.where((d <= r * r) & (batch == batch[i]))[0])
+        got = set(nbrs[i, : counts[i]])
+        assert got == want, f"point {i}: {got} vs {want}"
+        assert i in got  # self included (reference bfs_cluster.cu:40-44)

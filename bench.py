@@ -1,0 +1,180 @@
+"""Benchmark: stage-1 pseudo-label generation throughput (points/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so the baseline
+is a faithful host-side emulation of the reference's per-scene forward
+(python union-find over the edge list, per-cluster FPS, numpy MLP/GCN mats —
+the hot loops identified in SURVEY.md §3.1) run on this machine's CPU, i.e.
+the same role the reference's CPU+GPU path plays. Our number is the
+steady-state device-resident full `ins_infer` pipeline on one TPU chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_POINTS = 150528
+N_SLOTS = 512
+N_EDGES = 4096
+N_SCENES = 4
+
+
+def tpu_points_per_sec():
+    import jax
+
+    from seggroup_tpu.data.synthetic import make_synthetic_scene
+    from seggroup_tpu.models.seggroup import SegGroupGNN
+
+    scenes = [
+        jax.device_put(
+            make_synthetic_scene(
+                seed=i, num_points=N_POINTS, num_slots=N_SLOTS,
+                num_edges=N_EDGES, num_instances=24, segs_per_instance=12,
+                jax_arrays=False,
+            )
+        )
+        for i in range(N_SCENES)
+    ]
+    jax.block_until_ready(scenes)
+    model = SegGroupGNN(cluster_cap=1024)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        scenes[0], mode="ins_infer", train=False,
+    )
+    fwd = jax.jit(lambda v, s: model.apply(v, s, mode="ins_infer", train=False))
+    # warm up: through the axon tunnel block_until_ready can return before the
+    # remote execution finishes; a scalar fetch is the only reliable sync
+    out = fwd(variables, scenes[0])
+    _ = float(out.acc[0])
+    out = fwd(variables, scenes[1])
+    _ = float(out.acc[0])
+
+    t0 = time.time()
+    for i in range(N_SCENES):
+        out = fwd(variables, scenes[i])
+        _ = float(out.acc[0])
+    dt = (time.time() - t0) / N_SCENES
+    return N_POINTS / dt, dt
+
+
+def baseline_points_per_sec(budget_s: float = 240.0):
+    """Reference-semantics emulation on host CPU (numpy): the per-scene
+    pipeline with python union-find merges, per-cluster FPS resampling,
+    per-cluster kNN and dense MLP/GCN matmuls."""
+    from seggroup_tpu.data.synthetic import make_synthetic_scene
+
+    scene = make_synthetic_scene(
+        seed=0, num_points=N_POINTS, num_slots=N_SLOTS, num_edges=N_EDGES,
+        num_instances=24, segs_per_instance=12, jax_arrays=False,
+    )
+    pts = np.asarray(scene.points)
+    p2s = np.asarray(scene.point2seg)
+    edges = np.asarray(scene.edges)[np.asarray(scene.edge_valid)]
+    ins = np.asarray(scene.weak_ins).copy()
+    rng = np.random.default_rng(0)
+    w1 = rng.normal(size=(6, 64)).astype(np.float32)
+    w2 = rng.normal(size=(18, 64)).astype(np.float32)
+    wg = rng.normal(size=(192, 192)).astype(np.float32)
+
+    t0 = time.time()
+    # member lists (the reference's DisjointSet.indexs)
+    members = {s: list(np.where(p2s == s)[0]) for s in range(N_SLOTS)}
+    root = np.arange(N_SLOTS)
+
+    def find(a):
+        return root[a]
+
+    def union(a, b):
+        if a == b:
+            return
+        if ins[a] != -1 and ins[b] != -1 and ins[a] != ins[b]:
+            return
+        root[root == a] = b
+        members[b].extend(members[a])
+        members[a] = []
+        if ins[a] != ins[b]:
+            ins[b] = -ins[a] * ins[b]
+
+    # layer 1: per-cluster 64-pt FPS clouds + MLP1 + threshold merge
+    feats = np.zeros((N_SLOTS, 128), np.float32)
+    for s in range(N_SLOTS):
+        idx = members[s]
+        if not idx:
+            continue
+        sub = pts[idx, :3]
+        # FPS (reference farthest_point_sampling, python loop over k)
+        k = min(64, len(sub))
+        chosen = [0]
+        mind = ((sub - sub[0]) ** 2).sum(-1)
+        for _ in range(k - 1):
+            nxt = int(np.argmax(mind))
+            chosen.append(nxt)
+            mind = np.minimum(mind, ((sub - sub[nxt]) ** 2).sum(-1))
+        cloud = pts[np.array(idx)[chosen]]
+        # kNN within cloud + edge conv (numpy matmul)
+        d = ((cloud[:, None, :3] - cloud[None, :, :3]) ** 2).sum(-1)
+        nn = np.argsort(d, axis=1)[:, :10]
+        feat = np.maximum(cloud[nn] @ w1, 0).max(1)  # (k, 64)
+        feats[s, :64] = feat.max(0)
+        feats[s, 64:] = feat.mean(0)
+
+    dists = np.linalg.norm(feats[edges[:, 0]] - feats[edges[:, 1]], axis=1)
+    for (a, b), dd in zip(edges, dists):
+        if dd <= np.median(dists):
+            union(find(a), find(b))
+
+    # layer 2: full-cloud edge conv over per-cluster kNN + GCN + merge
+    p2r = root[p2s]
+    knn_all = np.zeros((len(pts), 20), np.int64)
+    for r in np.unique(p2r):
+        idx = np.where(p2r == r)[0]
+        sub = pts[idx, :3]
+        if len(idx) > 4096:
+            idx = idx[:: len(idx) // 4096 + 1]
+            sub = pts[idx, :3]
+        d = ((sub[:, None] - sub[None]) ** 2).sum(-1)
+        nn = np.argsort(d, axis=1)[:, :20]
+        knn_all[idx] = idx[nn[:, : min(20, len(idx))]][:, :20] if len(idx) >= 20 else idx[0]
+    x9 = np.concatenate([pts, pts[:, :3]], 1)
+    nbr = x9[knn_all]
+    ef = np.concatenate([nbr - x9[:, None], np.broadcast_to(x9[:, None], nbr.shape)], -1)
+    pf = np.maximum(ef @ w2, 0).max(1)  # (N, 64)
+    cf = np.zeros((N_SLOTS, 192), np.float32)
+    for r in np.unique(p2r):
+        cf[r, 128:] = pf[p2r == r].max(0)
+    cf[:, :128] = feats
+    sim = np.eye(N_SLOTS, dtype=np.float32)
+    _ = np.maximum((sim / sim.sum(1, keepdims=True)) @ cf @ wg, 0)
+
+    dt = time.time() - t0
+    return N_POINTS / dt, dt
+
+
+def main():
+    tpu_pps, tpu_dt = tpu_points_per_sec()
+    base_pps, base_dt = baseline_points_per_sec()
+    print(
+        json.dumps(
+            {
+                "metric": "stage1_pseudolabel_points_per_sec_per_chip",
+                "value": round(tpu_pps, 1),
+                "unit": "points/sec/chip",
+                "vs_baseline": round(tpu_pps / base_pps, 2),
+                "detail": {
+                    "tpu_s_per_scene": round(tpu_dt, 3),
+                    "cpu_reference_emulation_s_per_scene": round(base_dt, 3),
+                    "scene": {"points": N_POINTS, "segments": N_SLOTS,
+                              "edges": N_EDGES},
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

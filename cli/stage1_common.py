@@ -1,0 +1,106 @@
+"""Shared plumbing for the stage-1 CLIs (dataset loading, batching, exports)."""
+
+from __future__ import annotations
+
+import os
+
+# honor SEGGROUP_TPU_PLATFORM=cpu before any device use (the axon
+# sitecustomize overrides JAX_PLATFORMS, so an env var + config flag is the
+# only reliable way to select the CPU backend for tests/CI)
+if os.environ.get("SEGGROUP_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SEGGROUP_TPU_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from seggroup_tpu.data.scannet import ScanNetScenes
+from seggroup_tpu.data.synthetic import make_synthetic_scene
+from seggroup_tpu.types import Scene
+
+
+def add_common_args(p):
+    p.add_argument("--exp_name", type=str, default="exp")
+    p.add_argument("--data_root", type=str, default="dataset/scannet/prepared")
+    p.add_argument("--label_style", type=str, default="manual",
+                   choices=["manual", "maxseg", "mainseg", "rand"])
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic scenes instead of prepared ScanNet")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1)
+
+
+class SceneSource:
+    """Uniform access to prepared-npz or synthetic scenes."""
+
+    def __init__(self, args):
+        self.synthetic = args.synthetic > 0
+        if self.synthetic:
+            self.names = [f"synthetic{i:04d}" for i in range(args.synthetic)]
+            self._cache = {}
+        else:
+            root = os.path.join(args.data_root, args.label_style)
+            self.ds = ScanNetScenes(root)
+            self.names = self.ds.scene_list
+
+    def __len__(self):
+        return len(self.names)
+
+    def get(self, i: int):
+        if self.synthetic:
+            if i not in self._cache:
+                self._cache[i] = (
+                    make_synthetic_scene(seed=i, jax_arrays=False), {}
+                )
+            return self._cache[i]
+        return self.ds[i]
+
+
+def stack_scenes(scenes) -> Scene:
+    return Scene(*(jnp.stack([jnp.asarray(x) for x in cols])
+                   for cols in zip(*scenes)))
+
+
+def batches(source: SceneSource, batch: int, order: np.ndarray):
+    """Yield (names, Scene-batch, extras-list); wraps the tail so every batch
+    is full (the wrapped duplicates are flagged via the names list)."""
+    n = len(order)
+    for i in range(0, n, batch):
+        idx = [order[(i + j) % n] for j in range(batch)]
+        real = min(batch, n - i)
+        scenes, extras = [], []
+        for k in idx:
+            sc, ex = source.get(int(k))
+            scenes.append(sc)
+            extras.append(ex)
+        yield [source.names[int(k)] for k in idx[:real]], stack_scenes(scenes), extras
+
+
+def export_labels_txt(out_dir: str, stem: str, labels: np.ndarray):
+    os.makedirs(out_dir, exist_ok=True)
+    np.savetxt(os.path.join(out_dir, stem + ".txt"), labels, fmt="%d")
+
+
+def export_scene(results_root: str, scene_name: str, stage: str,
+                 out, extras: dict, row: int):
+    """Write final/layer label txt files in the reference's on-disk layout
+    (reference model.py:688-691, 525-605): results/<exp>/<scene>/<stage>/."""
+    out_dir = os.path.join(results_root, scene_name, stage)
+    unmap = extras.get("unmap")
+
+    def unm(arr):
+        arr = np.asarray(arr)
+        return arr[unmap] if unmap is not None else arr
+
+    final_sem = unm(out.final_sem[row])
+    final_ins = unm(out.final_ins[row])
+    export_labels_txt(out_dir, "final.sem", final_sem)
+    export_labels_txt(out_dir, "final.ins", final_ins)
+    export_labels_txt(out_dir, "final.seg", unm(out.final_root[row]))
+    sem2 = unm(out.sem_layer2[row])
+    ins2 = unm(out.ins_layer2[row])
+    export_labels_txt(out_dir, "layer_2.sem", sem2)
+    export_labels_txt(out_dir, "layer_2.ins", ins2)
+    for li in range(out.layer_roots.shape[1]):
+        export_labels_txt(out_dir, f"layer_{li+1}.seg", unm(out.layer_roots[row, li]))

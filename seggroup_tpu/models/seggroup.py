@@ -1,0 +1,473 @@
+"""Stage-1 SegGroup GNN, TPU-native.
+
+Re-designs the reference `SegModel` (reference seggroup/model.py:658-932) as a
+single jittable forward over fixed-shape padded tensors:
+
+  * the DGCNN edge-conv encoders MLP1/2/3 (model.py:65-138) become batched
+    Dense layers over (slots/points, k, feat) gathers — 1x1 convs are matmuls,
+    so the MXU does the work;
+  * BatchNorm is mask-aware (padded cluster slots / points are excluded from
+    batch statistics) — the reference's BN sees only real rows because it
+    never pads;
+  * the per-cluster resample + FPS host loop (model.py:398-426) becomes one
+    batched gather + masked FPS over every cluster at once;
+  * union-find grouping runs via ops.grouping (see that module's docstring
+    for the sequential-semantics argument).
+
+Weak-label conventions follow the reference prep: weak ins/sem are 0-based
+with -1 = unlabeled (dataset/scannet/util.py:745-752); exports add +1 so 0
+means unannotated (model.py:559,587).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seggroup_tpu.ops import grouping as gr
+from seggroup_tpu.ops.fps import masked_fps
+from seggroup_tpu.ops.knn import cluster_knn, knn_brute
+from seggroup_tpu.ops.segment_ops import segment_max, segment_mean, segment_sum
+from seggroup_tpu.types import Scene
+
+NUM_CLASSES = 40
+# nyu40 ids used by the reference evaluator (model.py:27-28)
+SEM_VALID_CLASS_IDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39)
+INS_VALID_CLASS_IDS = (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the leading axes with a validity mask (padded rows do not
+    pollute the statistics). Running stats live in the `batch_stats`
+    collection, as in standard flax BatchNorm."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)).astype(x.dtype)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / cnt
+            var = (
+                jnp.sum(jnp.square(x - mean) * m, axis=tuple(range(x.ndim - 1)))
+                / cnt
+            )
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class MLP1(nn.Module):
+    """Per-cluster edge-conv encoder: (S, P, 6) cluster clouds -> (S, 128)
+    (max || mean pooled). Mirrors reference MLP1 + get_graph_feature1
+    (model.py:39-80): kNN over xyz within the cluster cloud, neighbor xyz
+    centered over k and scaled x10, 1x1 conv 6->64, LeakyReLU, max over k,
+    then max/mean over points."""
+
+    k: int = 10
+
+    @nn.compact
+    def __call__(self, clouds: jax.Array, slot_valid: jax.Array, train: bool) -> jax.Array:
+        s, p, _ = clouds.shape
+        idx = knn_brute(clouds[..., :3], self.k)  # (S, P, k) self included
+        nbr = jnp.take_along_axis(
+            clouds[:, :, None, :], idx[..., None], axis=1
+        )  # (S, P, k, 6)
+        xyz = nbr[..., :3]
+        xyz = (xyz - jnp.mean(xyz, axis=2, keepdims=True)) * 10.0
+        feat = jnp.concatenate([xyz, nbr[..., 3:]], axis=-1)  # (S, P, k, 6)
+        h = nn.Dense(64, use_bias=False, name="conv1")(feat)
+        mask = jnp.broadcast_to(slot_valid[:, None, None], (s, p, self.k))
+        h = MaskedBatchNorm(name="bn1")(h, mask, train)
+        h = _leaky(h)
+        h = jnp.max(h, axis=2)  # over k -> (S, P, 64)
+        x1 = jnp.max(h, axis=1)
+        x2 = jnp.mean(h, axis=1)
+        out = jnp.concatenate([x1, x2], axis=-1)  # (S, 128)
+        return jnp.where(slot_valid[:, None], out, 0.0)
+
+
+class EdgeConvBlock(nn.Module):
+    """Shared body of MLP2/MLP3 (reference model.py:106-138): per-point edge
+    conv over a precomputed kNN graph. Input (N, 9), idx (N, k); feature is
+    concat(f_nbr - f_self, f_self) -> 18 dims; 1..2 conv layers; max over k."""
+
+    layers: int = 1
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, idx: jax.Array, point_valid: jax.Array, train: bool
+    ) -> jax.Array:
+        n, k = idx.shape
+        nbr = x[idx]  # (N, k, 9)
+        self_f = jnp.broadcast_to(x[:, None, :], nbr.shape)
+        feat = jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (N, k, 18)
+        mask = jnp.broadcast_to(point_valid[:, None], (n, k))
+        h = nn.Dense(64, use_bias=False, name="conv1")(feat)
+        h = MaskedBatchNorm(name="bn1")(h, mask, train)
+        h = _leaky(h)
+        if self.layers == 2:
+            h = nn.Dense(64, use_bias=False, name="conv2")(h)
+            h = MaskedBatchNorm(name="bn2")(h, mask, train)
+            h = _leaky(h)
+        h = jnp.max(h, axis=1)  # over k -> (N, 64)
+        return jnp.where(point_valid[:, None], h, 0.0)
+
+
+class GCN(nn.Module):
+    """Row-normalized graph conv (reference model.py:141-151)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, edge_matrix: jax.Array) -> jax.Array:
+        norm = edge_matrix / jnp.sum(edge_matrix, axis=1, keepdims=True)
+        h = nn.Dense(self.dim, use_bias=False, name="fc")(norm @ x)
+        return nn.relu(h)
+
+
+class Classifier(nn.Module):
+    """256 -> 128 (BN, LeakyReLU, dropout .5) -> 40 (reference model.py:154-166)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, valid: jax.Array, train: bool) -> jax.Array:
+        h = nn.Dense(128, use_bias=False, name="linear1")(x)
+        h = MaskedBatchNorm(name="bn1")(h, valid, train)
+        h = _leaky(h)
+        h = nn.Dropout(0.5, deterministic=not train)(h)
+        return nn.Dense(NUM_CLASSES, name="linear2")(h)
+
+
+def smoothed_cross_entropy(logits: jax.Array, labels: jax.Array, valid: jax.Array,
+                           eps: float = 0.2) -> jax.Array:
+    """Label-smoothed CE, summed (reference seggroup/util.py:12-29)."""
+    n_class = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, n_class)
+    soft = one_hot * (1 - eps) + (1 - one_hot) * eps / (n_class - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_row = -jnp.sum(soft * logp, axis=-1)
+    return jnp.sum(jnp.where(valid, per_row, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# cluster point-cloud construction
+# ---------------------------------------------------------------------------
+
+
+def cluster_pointclouds(
+    points: jax.Array,
+    point2root: jax.Array,
+    num_slots: int,
+    p_out: int = 64,
+    cap: int = 1024,
+    transform: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Fixed-size per-cluster point clouds (reference get_cluster_pointcloud,
+    model.py:398-426): clusters smaller than p_out are tiled rep times plus an
+    FPS remainder; larger clusters contribute p_out FPS samples. All clusters
+    are processed in one batch. Clusters beyond `cap` members feed FPS a
+    deterministic strided subsample (the reference FPS scans all members on
+    host; on device a static candidate budget keeps shapes fixed — the chosen
+    samples are near-identical for any sensible cap).
+
+    Returns (clouds (S, p_out, C), slot_valid (S,))."""
+    n, c = points.shape
+    s = num_slots
+    order = jnp.argsort(jnp.where(point2root < s, point2root, s), stable=True)
+    sorted_cid = jnp.where(point2root < s, point2root, s)[order]
+    start = jnp.searchsorted(sorted_cid, jnp.arange(s), side="left").astype(jnp.int32)
+    stop = jnp.searchsorted(sorted_cid, jnp.arange(s), side="right").astype(jnp.int32)
+    count = stop - start  # (S,)
+    slot_valid = count > 0
+
+    i = jnp.arange(cap, dtype=jnp.int32)
+    cnt = jnp.maximum(count, 1)[:, None]
+    strided = (i[None, :].astype(jnp.float32) * cnt / cap).astype(jnp.int32)
+    pos_in = jnp.where(cnt <= cap, jnp.minimum(i[None, :], cnt - 1), strided)
+    members = order[jnp.clip(start[:, None] + pos_in, 0, n - 1)]  # (S, cap)
+    mvalid = i[None, :] < jnp.minimum(cnt, cap)
+
+    cand_xyz = points[members, :3]
+    fps_idx = masked_fps(cand_xyz, mvalid, p_out)  # (S, p_out) into cap axis
+
+    # output slot j: tiled members for j < rep*n, FPS picks afterwards
+    rep = p_out // cnt  # (S, 1)
+    j = jnp.arange(p_out, dtype=jnp.int32)[None, :]
+    tiled_pos = j % cnt
+    use_tile = j < rep * cnt
+    fps_pos = jnp.take_along_axis(
+        fps_idx, jnp.clip(j - rep * cnt, 0, p_out - 1), axis=1
+    )
+    pick = jnp.where(use_tile, tiled_pos, fps_pos)  # positions in cap axis
+    out_members = jnp.take_along_axis(members, pick, axis=1)  # (S, p_out)
+    clouds = points[out_members]  # (S, p_out, C)
+
+    if transform:
+        xyz = clouds[..., :3]
+        xyz = xyz - jnp.mean(xyz, axis=1, keepdims=True)
+        denom = jnp.maximum(jnp.max(jnp.abs(xyz), axis=(1, 2), keepdims=True), 1e-12)
+        clouds = jnp.concatenate([xyz / denom, clouds[..., 3:]], axis=-1)
+    clouds = jnp.where(slot_valid[:, None, None], clouds, 0.0)
+    return clouds, slot_valid
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+
+class Stage1Output(NamedTuple):
+    loss_sum: jax.Array       # scalar
+    loss_count: jax.Array     # scalar (instances in the classifier batch)
+    iou_sem: jax.Array        # (2, 40) I / U per nyu40 class (resampled pts)
+    iou_ins: jax.Array        # (2, 40)
+    acc: jax.Array            # (4,) sem, ins, sem_sel, ins_sel
+    layer_roots: jax.Array    # (4, N) per-layer point -> cluster root slot
+    final_root: jax.Array     # (N,)
+    final_sem: jax.Array      # (N,) exported convention: 1..40, -1 = none
+    final_ins: jax.Array      # (N,)
+    sem_layer2: jax.Array     # (N,) layer-2 semantic export (sem_infer output)
+    ins_layer2: jax.Array     # (N,)
+
+
+class SegGroupGNN(nn.Module):
+    """The whole stage-1 per-scene pipeline as one module (reference
+    SegModel.forward, model.py:684-932). `mode` selects the reference's three
+    behaviors: 'train' (full pipeline + classifier loss), 'sem_infer' (stop
+    after layer 2, structural threshold 3 instead of 6, model.py:754-755),
+    'ins_infer' (full grouping, no classifier)."""
+
+    th_structural: float = 6.0
+    th_structural_sem_infer: float = 3.0
+    th_semantic: float = 2.0
+    gcn_alpha: float = 0.125
+    knn_k: int = 20
+    mlp1_points: int = 64
+    cluster_cap: int = 1024
+    max_instances: int = 128
+
+    def setup(self):
+        self.mlp_1 = MLP1()
+        self.mlp_2 = EdgeConvBlock(layers=1)
+        self.gcn_2 = GCN(192)
+        self.mlp_3 = EdgeConvBlock(layers=2)
+        self.gcn_3 = GCN(256)
+        self.classifier = Classifier()
+
+    def __call__(self, scene: Scene, mode: str = "train", train: bool = True) -> Stage1Output:
+        s = scene.num_slots
+        n = scene.num_points
+        pts = scene.points
+        pt_valid = scene.point2seg < s
+
+        # --- graph initialization (reference model.py:710-733)
+        g = gr.init_graph(scene.point2seg, scene.weak_ins, scene.weak_sem, s)
+        edges, ev = gr.normalize_edges(g, scene.edges, scene.edge_valid)
+        roots_l1 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+
+        # --- structural grouping layer (model.py:745-770)
+        clouds, act1 = cluster_pointclouds(
+            pts, roots_l1, s, p_out=self.mlp1_points, cap=self.cluster_cap
+        )
+        feat1 = self.mlp_1(clouds, act1, train)  # (S, 128)
+        d1 = gr.edge_distances(feat1, g, edges)
+        th1 = self.th_structural_sem_infer if mode == "sem_infer" else self.th_structural
+        g, _ = gr.group_nearby_clusters(
+            g, edges, ev, jax.lax.stop_gradient(d1), th1
+        )
+        edges, ev = gr.normalize_edges(g, edges, ev)
+        feat2 = gr.aggregate_cluster_feature(feat1, g, act1)  # (S, 128)
+        roots_l2 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+
+        sem_l2, ins_l2 = self._export_labels(g, roots_l2, pt_valid, s)
+
+        if mode == "sem_infer":
+            iou_sem, iou_ins, acc = evaluate_labels(
+                sem_l2, ins_l2, scene.real_sem, scene.real_ins, pt_valid
+            )
+            zero = jnp.zeros(())
+            return Stage1Output(
+                zero, zero, iou_sem, iou_ins, acc,
+                jnp.stack([roots_l1, roots_l2, roots_l2, roots_l2]),
+                roots_l2, sem_l2, ins_l2, sem_l2, ins_l2,
+            )
+
+        # --- semantic grouping layer 1 (model.py:786-824)
+        feat2, g, edges, ev, act2 = self._semantic_layer(
+            self.mlp_2, self.gcn_2, feat2, g, edges, ev, pts, roots_l2,
+            pt_valid, train,
+        )
+        roots_l3 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+        feat3 = gr.aggregate_cluster_feature(feat2, g, act2)
+
+        # --- semantic grouping layer 2 (model.py:827-856)
+        feat3, g, edges, ev, act3 = self._semantic_layer(
+            self.mlp_3, self.gcn_3, feat3, g, edges, ev, pts, roots_l3,
+            pt_valid, train,
+        )
+        roots_l4 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+        feat4 = gr.aggregate_cluster_feature(feat3, g, act3)
+
+        # --- final clustering: absorb unlabeled (model.py:868-891)
+        act4 = gr.active_mask(g)
+        g, _, edges, ev = gr.group_unlabeled_clusters(
+            g, feat4, edges, ev, pts[:, :3], scene.point2seg
+        )
+        # differentiable re-aggregation over the final grouping (max is
+        # associative, so this equals the loop's incremental aggregation)
+        feat5 = gr.aggregate_cluster_feature(feat4, g, act4)
+        final_root = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+        final_sem, final_ins = self._export_labels(g, final_root, pt_valid, s)
+
+        iou_sem, iou_ins, acc = evaluate_labels(
+            final_sem, final_ins, scene.real_sem, scene.real_ins, pt_valid
+        )
+
+        layer_roots = jnp.stack([roots_l1, roots_l2, roots_l3, roots_l4])
+
+        if mode == "ins_infer":
+            zero = jnp.zeros(())
+            return Stage1Output(
+                zero, zero, iou_sem, iou_ins, acc, layer_roots,
+                final_root, final_sem, final_ins, sem_l2, ins_l2,
+            )
+
+        # --- classifier over per-instance max-pooled features (model.py:900-929)
+        act5 = gr.active_mask(g)
+        i_max = self.max_instances
+        ins_ids = jnp.where(act5, g.ins_label, -1)
+        ins_ids = jnp.where((ins_ids >= 0) & (ins_ids < i_max), ins_ids, i_max)
+        feat6 = segment_max(feat5, ins_ids, i_max)  # (I, 256)
+        sem_gt = segment_max(jnp.where(act5, g.sem_label, -1), ins_ids, i_max,
+                             fill_value=jnp.int32(-1))
+        ins_present = segment_sum(act5.astype(jnp.int32), ins_ids, i_max) > 0
+        inst_valid = ins_present & (sem_gt >= 0)
+        logits = self.classifier(feat6, inst_valid, train)
+        loss_sum = smoothed_cross_entropy(logits, jnp.maximum(sem_gt, 0), inst_valid)
+        loss_count = jnp.sum(inst_valid.astype(jnp.float32))
+
+        return Stage1Output(
+            loss_sum, loss_count, iou_sem, iou_ins, acc, layer_roots,
+            final_root, final_sem, final_ins, sem_l2, ins_l2,
+        )
+
+    def _semantic_layer(self, mlp, gcn, feat_in, g, edges, ev, pts, roots,
+                        pt_valid, train):
+        s = g.num_slots
+        knn_idx = cluster_knn(
+            pts[:, :3], jnp.where(pt_valid, roots, jnp.int32(0x3FFFFFFF)),
+            k=self.knn_k,
+        )
+        center = segment_mean(pts[:, :3], roots, s)  # (S, 3)
+        centered = pts[:, :3] - center[jnp.minimum(roots, s - 1)]
+        data9 = jnp.concatenate([pts, centered], axis=-1)  # (N, 9)
+        point_feat = mlp(data9, knn_idx, pt_valid, train)  # (N, 64)
+        pooled = segment_max(point_feat, jnp.where(pt_valid, roots, s), s)  # (S, 64)
+        feat = jnp.concatenate([feat_in, pooled], axis=-1)
+
+        sims = gr.edge_similarities(feat, g, edges, alpha=self.gcn_alpha)
+        sim_m = gr.build_similarity_matrix(sims, edges, ev, s)
+        feat = gcn(feat, sim_m)
+
+        d = gr.edge_distances(feat, g, edges)
+        act_before = gr.active_mask(g)
+        g, _ = gr.group_nearby_clusters(
+            g, edges, ev, jax.lax.stop_gradient(d), self.th_semantic
+        )
+        edges, ev = gr.normalize_edges(g, edges, ev)
+        return feat, g, edges, ev, act_before
+
+    @staticmethod
+    def _export_labels(g, roots, pt_valid, s):
+        """Per-point exported labels: label+1 if labeled else -1 (reference
+        export_{semantic,instance}_label, model.py:552-605)."""
+        r = jnp.minimum(roots, s - 1)
+        sem = g.sem_label[r]
+        ins = g.ins_label[r]
+        sem = jnp.where(pt_valid & (sem != -1), sem + 1, -1)
+        ins = jnp.where(pt_valid & (ins != -1), ins + 1, -1)
+        return sem.astype(jnp.int32), ins.astype(jnp.int32)
+
+
+def evaluate_labels(
+    sem_pred: jax.Array,
+    ins_pred: jax.Array,
+    sem_true: jax.Array,
+    ins_true: jax.Array,
+    pt_valid: jax.Array,
+    max_instances: int = 256,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-scene I/U accumulators + accuracies (reference evaluate,
+    model.py:608-655), restricted to annotated points (sem_true != 0)."""
+    valid = pt_valid & (sem_true != 0)
+    fv = valid.astype(jnp.float32)
+
+    cls = jnp.arange(1, NUM_CLASSES + 1)
+    sp = sem_pred[:, None] == cls[None, :]
+    st = sem_true[:, None] == cls[None, :]
+    i_sem = jnp.sum((sp & st) & valid[:, None], axis=0).astype(jnp.float32)
+    u_sem = jnp.sum((sp | st) & valid[:, None], axis=0).astype(jnp.float32)
+    iou_sem = jnp.stack([i_sem, u_sem])
+
+    # instance I/U binned by the semantic class of each predicted instance
+    # (pred instance ids match GT numbering by construction of weak labels)
+    i_ins = jnp.zeros(NUM_CLASSES)
+    u_ins = jnp.zeros(NUM_CLASSES)
+    ins_ids = jnp.arange(1, max_instances + 1)
+
+    def body(carry, ins):
+        i_acc, u_acc = carry
+        pred_mask = (ins_pred == ins) & valid
+        true_mask = (ins_true == ins) & valid
+        present = jnp.any(pred_mask)
+        # semantic class of this predicted instance = sem_pred at its first point
+        first = jnp.argmax(pred_mask)
+        sem = sem_pred[first]
+        cls_idx = jnp.clip(sem - 1, 0, NUM_CLASSES - 1)
+        inter = jnp.sum((pred_mask & true_mask).astype(jnp.float32))
+        union = jnp.sum((pred_mask | true_mask).astype(jnp.float32))
+        i_acc = i_acc.at[cls_idx].add(jnp.where(present, inter, 0.0))
+        u_acc = u_acc.at[cls_idx].add(jnp.where(present, union, 0.0))
+        return (i_acc, u_acc), None
+
+    (i_ins, u_ins), _ = jax.lax.scan(body, (i_ins, u_ins), ins_ids)
+    iou_ins = jnp.stack([i_ins, u_ins])
+
+    denom = jnp.maximum(jnp.sum(fv), 1.0)
+    acc_sem = jnp.sum((sem_pred == sem_true) & valid) / denom
+    acc_ins = jnp.sum((ins_pred == ins_true) & valid) / denom
+
+    sem_sel = valid & jnp.isin(sem_true, jnp.array(SEM_VALID_CLASS_IDS))
+    ins_sel = valid & jnp.isin(ins_true, jnp.array(INS_VALID_CLASS_IDS))
+    acc_sem_sel = jnp.sum((sem_pred == sem_true) & sem_sel) / jnp.maximum(
+        jnp.sum(sem_sel.astype(jnp.float32)), 1.0
+    )
+    acc_ins_sel = jnp.sum((ins_pred == ins_true) & ins_sel) / jnp.maximum(
+        jnp.sum(ins_sel.astype(jnp.float32)), 1.0
+    )
+    acc = jnp.stack([acc_sem, acc_ins, acc_sem_sel, acc_ins_sel])
+    return iou_sem, iou_ins, acc

@@ -218,6 +218,110 @@ def aggregate_cluster_feature(
 # ---------------------------------------------------------------------------
 
 
+def _constrained_merge_rounds(
+    g: SegGraph, edges: jax.Array, eligible_fn, max_attach_rounds: int = 0
+) -> SegGraph:
+    """Parallel label-constrained union of edges selected by `eligible_fn`.
+
+    The reference merges edges one-by-one with a conflict guard
+    (model.py:218-226). The end state it reaches satisfies exactly: every
+    selected edge is either intra-cluster or joins two clusters with distinct
+    non-(-1) instance labels (labels of labeled clusters are permanent, so a
+    once-blocked edge stays blocked). We reach a state with the same invariant
+    in O(log) parallel rounds:
+
+      * CC phase — edges whose endpoints are both unlabeled or share a label
+        commute freely (merging them never creates or changes a label), so
+        they are contracted by parallel min-root propagation;
+      * attach phase — each *unlabeled* cluster root merges into the labeled
+        root of exactly one incident eligible edge (lowest edge index, i.e.
+        scan-order tie-break); one attachment per root per round makes label
+        conflicts within a round impossible.
+
+    Partitions agree exactly with the sequential reference whenever each
+    connected component holds <= 1 distinct label (the overwhelmingly common
+    case); multi-label components are split with the same invariant but a
+    nearest-label tie-break instead of scan order (documented deviation —
+    see tests/test_grouping.py oracle comparisons).
+
+    `eligible_fn(g, root_e0, root_e1) -> bool mask` decides which edges want
+    to merge given the current graph (threshold pass: static `dist <= th`;
+    small-cluster pass: live `point_num < min_points`)."""
+    s = g.num_slots
+    e0, e1 = edges[:, 0], edges[:, 1]
+    base_counts = jnp.where(g.seg_valid, g.point_num, 0)
+
+    def recount(root):
+        return segment_sum(base_counts, jnp.where(g.seg_valid, root, s), s).astype(
+            g.point_num.dtype
+        )
+
+    def cc_contract(root, ins):
+        """Min-root propagation over commuting eligible edges to fixpoint."""
+
+        def body(carry):
+            root, _ = carry
+            r0, r1 = root[e0], root[e1]
+            l0, l1 = ins[r0], ins[r1]
+            graph2 = g._replace(root=root, ins_label=ins, point_num=recount(root))
+            elig = eligible_fn(graph2, r0, r1) & (r0 != r1)
+            commute = elig & (((l0 == -1) & (l1 == -1)) | (l0 == l1))
+            tgt = jnp.minimum(r0, r1)
+            big = jnp.int32(s)
+            prop = jnp.full((s,), big).at[
+                jnp.where(commute, r0, s - 1)
+            ].min(jnp.where(commute, tgt, big))
+            prop = prop.at[jnp.where(commute, r1, s - 1)].min(
+                jnp.where(commute, tgt, big)
+            )
+            new = jnp.minimum(root, prop[root])
+            new = jnp.minimum(new, new[new])  # pointer jumping
+            return new, jnp.any(new != root)
+
+        root, _ = jax.lax.while_loop(
+            lambda c: c[1], body, (root, jnp.array(True))
+        )
+        return root
+
+    def attach(root, ins, sem):
+        """Each unlabeled root joins the labeled root of its lowest-index
+        eligible edge. Returns updated (root, changed)."""
+        r0, r1 = root[e0], root[e1]
+        l0, l1 = ins[r0], ins[r1]
+        graph2 = g._replace(root=root, ins_label=ins, point_num=recount(root))
+        elig = eligible_fn(graph2, r0, r1) & (r0 != r1)
+        att = elig & ((l0 == -1) ^ (l1 == -1))
+        u = jnp.where(l0 == -1, r0, r1)  # unlabeled side
+        lab = jnp.where(l0 == -1, r1, r0)  # labeled side
+        eidx = jnp.arange(edges.shape[0], dtype=jnp.int32)
+        big = jnp.int32(edges.shape[0])
+        choice = jnp.full((s,), big).at[jnp.where(att, u, s - 1)].min(
+            jnp.where(att, eidx, big)
+        )
+        has = choice < big
+        chosen_lab = lab[jnp.minimum(choice, big - 1)]
+        mapping = jnp.where(has, chosen_lab, jnp.arange(s, dtype=jnp.int32))
+        new = mapping[root]
+        return new, jnp.any(new != root)
+
+    def round_body(carry):
+        root, ins, sem, _ = carry
+        root = cc_contract(root, ins)
+        root, changed = attach(root, ins, sem)
+        return root, ins, sem, changed
+
+    root, ins, sem = g.root, g.ins_label, g.sem_label
+    root = cc_contract(root, ins)
+    root, changed = attach(root, ins, sem)
+    root, ins, sem, _ = jax.lax.while_loop(
+        lambda c: c[3], round_body, (root, ins, sem, changed)
+    )
+    # labels live at surviving roots: a root's label never changed during the
+    # merges above (labeled roots absorb, unlabeled roots merge into labeled
+    # or stay unlabeled) — so ins/sem arrays are still correct at roots.
+    return g._replace(root=root, point_num=recount(root))
+
+
 def group_nearby_clusters(
     g: SegGraph,
     edges: jax.Array,
@@ -227,11 +331,38 @@ def group_nearby_clusters(
     min_points: int = 5,
 ) -> tuple[SegGraph, jax.Array]:
     """Threshold-merge adjacent clusters, then force-absorb sub-`min_points`
-    clusters (reference group_nearby_clusters, model.py:218-258).
+    clusters (reference group_nearby_clusters, model.py:218-258) — parallel
+    rounds formulation (see _constrained_merge_rounds; the sequential
+    reference-order variant is group_nearby_clusters_sequential).
 
     Returns (graph, connected_mask) where connected_mask marks edges whose
     endpoints ended up in the same cluster (the reference's adj_connected /
     adj_unconnected partition, model.py:241-258)."""
+    passing = edge_valid & (dists <= th)
+    g = _constrained_merge_rounds(g, edges, lambda gg, r0, r1: passing)
+
+    def small_elig(gg, r0, r1):
+        return edge_valid & (
+            (gg.point_num[r0] < min_points) | (gg.point_num[r1] < min_points)
+        )
+
+    g = _constrained_merge_rounds(g, edges, small_elig)
+
+    connected = edge_valid & (g.root[edges[:, 0]] == g.root[edges[:, 1]])
+    return g, connected
+
+
+def group_nearby_clusters_sequential(
+    g: SegGraph,
+    edges: jax.Array,
+    edge_valid: jax.Array,
+    dists: jax.Array,
+    th: float,
+    min_points: int = 5,
+) -> tuple[SegGraph, jax.Array]:
+    """Exact sequential-order emulation of the reference merge loop
+    (model.py:218-258) via lax.scan — bit-faithful but latency-bound on TPU;
+    kept for parity testing against the numpy oracle."""
 
     def thresh_step(graph, inp):
         e, valid, dist = inp
@@ -304,8 +435,18 @@ def group_unlabeled_clusters(
 
     points/point2seg give per-point coordinates and (static) initial segment
     assignment, used for the spatial fallback. Returns
-    (graph, feat, edges, edge_valid)."""
+    (graph, feat, edges, edge_valid).
+
+    NOTE: this function is not reverse-differentiable (the fixpoint while-loop
+    carries `feat`); gradients are cut internally. Because max-aggregation is
+    associative, callers recover the exact differentiable feature path by
+    re-aggregating their pre-call features over the returned graph:
+    `feat5 = aggregate_cluster_feature(feat4, g_out, active_before)` — this
+    equals the reference's incremental per-round aggregation
+    (model.py:470,507)."""
     s = g.num_slots
+    feat = jax.lax.stop_gradient(feat)
+    points = jax.lax.stop_gradient(points)
 
     def count_active(graph):
         return jnp.sum(active_mask(graph).astype(jnp.int32))

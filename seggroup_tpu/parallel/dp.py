@@ -1,0 +1,133 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's parallelism stack (SURVEY.md §2.5):
+PyTorch DDP over NCCL with one process per GPU and one scene per rank
+(reference seggroup/train.py:83-94, 274-277). Here a single controller holds a
+`Mesh` with a 'data' axis; `shard_map` runs one scene per device, `psum`
+replaces both the DDP gradient all-reduce and the four explicit metric
+all_reduce calls (train.py:172-175). Collectives ride ICI; multi-host extends
+the same mesh over DCN via jax.distributed (no code change here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from seggroup_tpu.types import Scene
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch (leading axis = scenes) sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_optimizer(name: str = "sgd", lr: float = 0.001, momentum: float = 0.9,
+                   weight_decay: float = 1e-4) -> optax.GradientTransformation:
+    """Reference optimizers (seggroup/train.py:96-99): SGD(lr*100, momentum,
+    wd 1e-4) or Adam(lr, wd 1e-4)."""
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(learning_rate=lr * 100, momentum=momentum),
+        )
+    if name == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate=lr),
+        )
+    raise ValueError(name)
+
+
+def build_stage1_train_step(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh
+) -> Callable:
+    """One DDP-style step: per-device scene -> local grads -> pmean -> update.
+
+    batch: Scene pytree with leading axis = mesh data size (1 scene/device,
+    the reference topology, seggroup/README.md:136). Returns (params, opt_state,
+    batch_stats, metrics) with metrics summed across devices exactly like the
+    reference's all_reduce (train.py:172-175)."""
+
+    def local_loss(params, batch_stats, scene, rng):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            scene, mode="train", train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        loss = out.loss_sum / jnp.maximum(out.loss_count, 1.0)
+        return loss, (out, mut["batch_stats"])
+
+    def step(params, opt_state, batch_stats, batch: Scene, rng):
+        scene = jax.tree.map(lambda x: x[0], batch)  # local shard is (1, ...)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, batch_stats, scene, rng)
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": jax.lax.psum(loss, "data"),
+            "iou_sem": jax.lax.psum(out.iou_sem, "data"),
+            "iou_ins": jax.lax.psum(out.iou_ins, "data"),
+            "acc": jax.lax.psum(out.acc, "data"),
+        }
+        return params, opt_state, new_stats, metrics
+
+    n = mesh.devices.size
+    scene_specs = Scene(*(P("data") for _ in Scene._fields))
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), scene_specs, P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def build_stage1_infer_step(model, mesh: Mesh, mode: str) -> Callable:
+    """No-grad inference step; returns per-scene outputs gathered to host
+    (reference infer.py:131-156)."""
+
+    def step(variables, batch: Scene):
+        scene = jax.tree.map(lambda x: x[0], batch)
+        out = model.apply(variables, scene, mode=mode, train=False)
+        # per-scene label exports stay sharded (one row per device)
+        gathered = jax.tree.map(lambda x: x[None], out)
+        return gathered
+
+    scene_specs = Scene(*(P("data") for _ in Scene._fields))
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), scene_specs),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    )

@@ -84,25 +84,30 @@ def canon(root, valid_slots):
     return {frozenset(v) for v in groups.values()}
 
 
-def test_group_nearby_matches_oracle(rng):
+def _random_case(rng, s=16):
+    g, ins, sem, counts, _ = make_graph(rng, s=s)
+    edges = random_edges(rng, s, 40)
+    # drop edges touching empty segments (the real pipeline never has them)
+    nonempty = counts > 0
+    edges = edges[nonempty[edges[:, 0]] & nonempty[edges[:, 1]]]
+    e_pad = 64
+    ev = np.zeros(e_pad, bool)
+    ev[: len(edges)] = True
+    e_arr = np.zeros((e_pad, 2), np.int32)
+    e_arr[: len(edges)] = edges
+    dists = rng.random(e_pad).astype(np.float32) * 10
+    return g, ins, sem, counts, edges, e_arr, ev, dists, nonempty
+
+
+def test_group_nearby_sequential_matches_oracle(rng):
     for trial in range(10):
         s = 16
-        g, ins, sem, counts, _ = make_graph(rng, s=s)
-        edges = random_edges(rng, s, 40)
-        # drop edges touching empty segments (the real pipeline never has them)
-        nonempty = counts > 0
-        edges = edges[nonempty[edges[:, 0]] & nonempty[edges[:, 1]]]
-        e_pad = 64
-        ev = np.zeros(e_pad, bool)
-        ev[: len(edges)] = True
-        e_arr = np.zeros((e_pad, 2), np.int32)
-        e_arr[: len(edges)] = edges
-        dists = rng.random(e_pad).astype(np.float32) * 10
+        g, ins, sem, counts, edges, e_arr, ev, dists, nonempty = _random_case(rng, s)
 
         ds = OracleDS(ins, sem, counts)
         ds_out, conn_oracle = oracle_group_nearby(ds, edges, dists[: len(edges)], 5.0)
 
-        g_out, conn = gr.group_nearby_clusters(
+        g_out, conn = gr.group_nearby_clusters_sequential(
             g, jnp.array(e_arr), jnp.array(ev), jnp.array(dists), 5.0
         )
         root = np.asarray(g_out.root)
@@ -116,6 +121,81 @@ def test_group_nearby_matches_oracle(rng):
             r_ours, r_oracle = root[i], ds_out.find(i)
             assert np.asarray(g_out.ins_label)[r_ours] == ds_out.ins[r_oracle]
             assert np.asarray(g_out.sem_label)[r_ours] == ds_out.sem[r_oracle]
+            assert np.asarray(g_out.point_num)[r_ours] == ds_out.pn[r_oracle]
+
+
+def test_group_nearby_parallel_invariants(rng):
+    """The parallel-rounds engine must reach the same fixpoint invariant as
+    the sequential reference: every passing edge is intra-cluster or joins two
+    differently-labeled clusters; counts/labels consistent."""
+    for trial in range(10):
+        s = 16
+        g, ins, sem, counts, edges, e_arr, ev, dists, nonempty = _random_case(rng, s)
+        g_out, conn = gr.group_nearby_clusters(
+            g, jnp.array(e_arr), jnp.array(ev), jnp.array(dists), 5.0
+        )
+        root = np.asarray(g_out.root)
+        insl = np.asarray(g_out.ins_label)
+        pn = np.asarray(g_out.point_num)
+        for (a, b), d in zip(edges, dists[: len(edges)]):
+            ra, rb = root[a], root[b]
+            small = pn[ra] < 5 or pn[rb] < 5
+            if d <= 5.0 or small:
+                conflict = insl[ra] != -1 and insl[rb] != -1 and insl[ra] != insl[rb]
+                assert ra == rb or conflict, (a, b, d, ra, rb)
+        # counts: sum of member segment counts
+        for r in np.unique(root[nonempty]):
+            members = np.where((root == r) & nonempty)[0]
+            assert pn[r] == counts[members].sum()
+        # never-merge guard between distinct labels
+        for i in np.where(nonempty)[0]:
+            for j in np.where(nonempty)[0]:
+                if root[i] == root[j]:
+                    continue
+
+
+def test_group_nearby_parallel_equals_oracle_when_conflict_free(rng):
+    """With at most one labeled segment per connected component, merge order
+    is irrelevant and the parallel engine must match the oracle exactly."""
+    for trial in range(10):
+        s = 16
+        point2seg = rng.integers(0, s, size=400).astype(np.int32)
+        counts = np.bincount(point2seg, minlength=s)
+        ins = np.full(s, -1, np.int32)
+        sem = np.full(s, -1, np.int32)
+        # label segments 0 and 8 (components built to not bridge them)
+        ins[0], sem[0] = 0, 3
+        ins[8], sem[8] = 1, 9
+        # edges only within {0..7} and {8..15}
+        edges = []
+        for grp in (range(0, 8), range(8, 16)):
+            grp = list(grp)
+            for _ in range(10):
+                a, b = rng.choice(grp, 2, replace=False)
+                edges.append((min(a, b), max(a, b)))
+        edges = sorted(set(edges))
+        e_pad = 64
+        e_arr = np.zeros((e_pad, 2), np.int32)
+        ev = np.zeros(e_pad, bool)
+        e_arr[: len(edges)] = edges
+        ev[: len(edges)] = True
+        dists = rng.random(e_pad).astype(np.float32) * 10
+
+        g = gr.init_graph(jnp.array(point2seg), jnp.array(ins), jnp.array(sem), s)
+        ds = OracleDS(ins, sem, counts)
+        ds_out, conn_oracle = oracle_group_nearby(
+            ds, np.array(edges), dists[: len(edges)], 5.0
+        )
+        g_out, conn = gr.group_nearby_clusters(
+            g, jnp.array(e_arr), jnp.array(ev), jnp.array(dists), 5.0
+        )
+        root = np.asarray(g_out.root)
+        valid_slots = np.where(counts > 0)[0]
+        assert canon(root, valid_slots) == canon(ds_out.root, valid_slots)
+        np.testing.assert_array_equal(np.asarray(conn)[: len(edges)], conn_oracle)
+        for i in valid_slots:
+            r_ours, r_oracle = root[i], ds_out.find(i)
+            assert np.asarray(g_out.ins_label)[r_ours] == ds_out.ins[r_oracle]
             assert np.asarray(g_out.point_num)[r_ours] == ds_out.pn[r_oracle]
 
 

@@ -1,0 +1,124 @@
+"""Multi-device DP tests on the 8-device virtual CPU mesh — coverage the
+reference never had (its DDP paths only ran on real GPUs, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seggroup_tpu.data.synthetic import make_synthetic_scene
+from seggroup_tpu.models.seggroup import SegGroupGNN
+from seggroup_tpu.parallel.dp import (
+    build_stage1_infer_step,
+    build_stage1_train_step,
+    make_mesh,
+    make_optimizer,
+    replicate,
+    shard_batch,
+)
+from seggroup_tpu.types import Scene
+
+
+def _stack_scenes(scenes):
+    return Scene(*(jnp.stack(x) for x in zip(*scenes)))
+
+
+def _make_batch(n, **kw):
+    return _stack_scenes([make_synthetic_scene(seed=i, **kw) for i in range(n)])
+
+
+SCENE_KW = dict(num_points=1024, num_slots=32, num_edges=128,
+                num_instances=3, segs_per_instance=3)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_train_step_runs_and_syncs():
+    mesh = make_mesh()
+    model = SegGroupGNN(cluster_cap=128)
+    scene0 = make_synthetic_scene(seed=0, **SCENE_KW)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        scene0, mode="train", train=True,
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = make_optimizer("adam", lr=1e-3)
+    opt_state = opt.init(params)
+
+    step = build_stage1_train_step(model, opt, mesh)
+    batch = shard_batch(mesh, _make_batch(8, **SCENE_KW))
+    params_r = replicate(mesh, params)
+    opt_r = replicate(mesh, opt_state)
+    stats_r = replicate(mesh, stats)
+
+    p1, o1, s1, m1 = step(params_r, opt_r, stats_r, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m1["loss"]))
+    # params must be identical (replicated) after the update
+    leaf = jax.tree.leaves(p1)[0]
+    assert len(leaf.sharding.device_set) == 8
+    # a second step with the updated params must also run
+    p2, o2, s2, m2 = step(p1, o1, s1, batch, jax.random.PRNGKey(8))
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) != float(m1["loss"])  # params changed
+
+
+def test_dp_matches_single_device_grads():
+    """pmean of per-scene grads over the mesh == mean of per-scene grads
+    computed serially (DDP equivalence)."""
+    mesh = make_mesh()
+    model = SegGroupGNN(cluster_cap=128)
+    scenes = [make_synthetic_scene(seed=i, **SCENE_KW) for i in range(8)]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        scenes[0], mode="train", train=True,
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def scene_loss(p, scene):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats}, scene, mode="train",
+            train=False,  # no dropout/BN-update so grads are deterministic
+            mutable=["batch_stats"],
+        )
+        return out.loss_sum / jnp.maximum(out.loss_count, 1.0)
+
+    serial_grads = [jax.grad(scene_loss)(params, sc) for sc in scenes]
+    mean_serial = jax.tree.map(
+        lambda *g: sum(np.asarray(x) for x in g) / len(g), *serial_grads
+    )
+
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    scene_specs = Scene(*(P("data") for _ in Scene._fields))
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(), scene_specs), out_specs=P(), check_vma=False)
+    def dp_grads(p, batch):
+        scene = jax.tree.map(lambda x: x[0], batch)
+        g = jax.grad(scene_loss)(p, scene)
+        return jax.lax.pmean(g, "data")
+
+    batch = shard_batch(mesh, _stack_scenes(scenes))
+    got = dp_grads(replicate(mesh, params), batch)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(mean_serial)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_dp_infer_step():
+    mesh = make_mesh()
+    model = SegGroupGNN(cluster_cap=128)
+    scene0 = make_synthetic_scene(seed=0, **SCENE_KW)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        scene0, mode="train", train=True,
+    )
+    infer = build_stage1_infer_step(model, mesh, mode="ins_infer")
+    batch = shard_batch(mesh, _make_batch(8, **SCENE_KW))
+    out = infer(replicate(mesh, {"params": variables["params"],
+                                 "batch_stats": variables["batch_stats"]}), batch)
+    assert out.final_sem.shape == (8, 1024)
+    sems = np.asarray(out.final_sem)
+    assert (sems >= 1).all()  # every point labeled in every scene

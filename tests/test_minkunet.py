@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seggroup_tpu.models.minkunet import make_minkunet
+from seggroup_tpu.sparse.tensor import SparseTensor
+
+
+def make_sparse_input(rng, m_cap=512, n=300, cin=3, grid=24, batches=2):
+    coords = np.zeros((m_cap, 4), np.int32)
+    seen = set()
+    rows = []
+    while len(rows) < n:
+        c = (rng.integers(0, batches), *rng.integers(0, grid, 3))
+        if c not in seen:
+            seen.add(c)
+            rows.append(c)
+    coords[:n] = np.array(rows, np.int32)
+    feats = np.zeros((m_cap, cin), np.float32)
+    feats[:n] = rng.normal(size=(n, cin)).astype(np.float32)
+    valid = np.zeros(m_cap, bool)
+    valid[:n] = True
+    return SparseTensor(jnp.array(coords), jnp.array(feats), jnp.array(valid),
+                        jnp.int32(n))
+
+
+def test_res16unet34c_param_count(rng):
+    st = make_sparse_input(rng, m_cap=256, n=150)
+    model = make_minkunet("Res16UNet34C", out_channels=20,
+                          level_caps=[256, 256, 128, 64, 64])
+    variables = model.init(jax.random.PRNGKey(0), st, train=False)
+    count = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    # reference MinkowskiNet is 37.85M params (FAQ.md:46)
+    assert 35e6 < count < 41e6, count
+
+
+def test_forward_masks_padding(rng):
+    st = make_sparse_input(rng, m_cap=256, n=150)
+    model = make_minkunet("Res16UNet14A", out_channels=20,
+                          level_caps=[256, 256, 128, 64, 64])
+    variables = model.init(jax.random.PRNGKey(0), st, train=False)
+    logits = model.apply(variables, st, train=False)
+    logits = np.asarray(logits)
+    assert logits.shape == (256, 20)
+    assert np.isfinite(logits[:150]).all()
+    assert (logits[150:] == 0).all()
+
+
+def test_forward_is_permutation_equivariant(rng):
+    """Voxel row order must not change per-voxel logits (eval mode)."""
+    st = make_sparse_input(rng, m_cap=128, n=80)
+    model = make_minkunet("Res16UNet14A", out_channels=8,
+                          level_caps=[128, 128, 64, 32, 32])
+    variables = model.init(jax.random.PRNGKey(0), st, train=False)
+    out1 = np.asarray(model.apply(variables, st, train=False))
+
+    perm = np.concatenate([np.random.default_rng(1).permutation(80),
+                           np.arange(80, 128)])
+    st2 = SparseTensor(st.coords[perm], st.feats[perm], st.valid[perm], st.num)
+    out2 = np.asarray(model.apply(variables, st2, train=False))
+    np.testing.assert_allclose(out2, out1[perm], rtol=2e-3, atol=2e-4)
+
+
+def test_train_step_grads(rng):
+    import optax
+
+    st = make_sparse_input(rng, m_cap=128, n=80)
+    labels = jnp.array(np.random.default_rng(0).integers(0, 8, 128))
+    model = make_minkunet("Res16UNet14A", out_channels=8,
+                          level_caps=[128, 128, 64, 32, 32])
+    variables = model.init(jax.random.PRNGKey(0), st, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(p):
+        logits, mut = model.apply({"params": p, "batch_stats": stats}, st,
+                                  train=True, mutable=["batch_stats"])
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, labels[:, None], axis=1)[:, 0]
+        return jnp.sum(jnp.where(st.valid, nll, 0.0)) / jnp.maximum(
+            jnp.sum(st.valid), 1
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert gnorm > 0

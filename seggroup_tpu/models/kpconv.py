@@ -1,0 +1,400 @@
+"""KPConv (kernel point convolution) FCNN, TPU-native.
+
+Reimplements the reference KPConv stack (reference kpconv/kernels/
+convolution_ops.py:161-626, models/network_blocks.py, models/KPFCNN_model.py)
+with the whole multiscale pyramid built ON DEVICE:
+
+  * the reference builds per-batch radius neighborhoods and grid subsampling
+    pyramids with CPU TF ops over nanoflann KD-trees
+    (tf_custom_ops/tf_batch_neighbors.cpp, tf_batch_subsampling.cpp) — the
+    classic KPConv input bottleneck. Here both are grid-hash ball queries and
+    voxel barycenter pooling (ops.knn.ball_query_pair + ops.voxelize), fully
+    jitted, with shadow-row padding exactly like the reference's shadow
+    points (convolution_ops.py:190-194);
+  * the conv itself is two einsums: influence-weighted neighbor aggregation
+    per kernel point, then the (P, Cin, Cout) weight contraction — both MXU
+    matmuls (convolution_ops.py:227-247 is the same algebra);
+  * rigid and deformable variants; deformable offsets come from a rigid
+    KPConv head, and the fitting/repulsive regularizers
+    (KPFCNN_model.py:217-296) are returned explicitly instead of fished out
+    of the TF graph by name;
+  * kernel point dispositions via the reference's repulsive-potential
+    optimization (kernels/kernel_points.py:41-180), run once and cached.
+
+ScanNet configuration (training_Scannet.py:78-126): 15 kernel points,
+dl0=4 cm, architecture simple/resnetb encoder with strided + deformable
+stages and nearest-upsample/unary decoder, in_features_dim=4 (constant 1 +
+rgb), first_features_dim=64, BN momentum .98 (TF decay convention), linear
+influence, sum aggregation.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seggroup_tpu.ops.knn import ball_query_pair
+from seggroup_tpu.ops.segment_ops import segment_max, segment_mean
+
+# ---------------------------------------------------------------------------
+# kernel point dispositions
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def kernel_point_positions(num_points: int = 15, dim: int = 3,
+                           num_iters: int = 300, seed: int = 42) -> np.ndarray:
+    """Repulsive-potential optimization of kernel point placement in the unit
+    sphere, first point fixed at the center (reference
+    kernel_point_optimization_debug, kernels/kernel_points.py:41-180).
+    Returns (num_points, dim) float32, radius-normalized to 1."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, size=(num_points, dim))
+    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-6) \
+        * rng.uniform(0.3, 1.0, size=(num_points, 1))
+    pts[0] = 0.0
+    lr = 0.01
+    for _ in range(num_iters):
+        diff = pts[:, None, :] - pts[None, :, :]
+        d = np.linalg.norm(diff, axis=-1) + 1e-6
+        np.fill_diagonal(d, 1e6)
+        # inter-point repulsion + attraction to the center
+        rep = (diff / d[..., None] ** 3).sum(1)
+        grad = rep - 2 * pts
+        pts[1:] += lr * grad[1:]
+        norms = np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+        pts = np.where(norms > 1.0, pts / norms, pts)
+    scale = np.abs(pts).max()
+    return (pts / max(scale, 1e-6)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# the conv op
+# ---------------------------------------------------------------------------
+
+
+def kpconv_op(
+    queries: jax.Array,        # (Nq, 3)
+    supports: jax.Array,       # (Ns, 3)
+    neighbors: jax.Array,      # (Nq, K) into supports, == Ns for shadow
+    feats: jax.Array,          # (Ns, Cin)
+    kernel_pts: jax.Array,     # (P, 3) absolute offsets (already scaled)
+    weights: jax.Array,        # (P, Cin, Cout)
+    extent: float,
+    influence: str = "linear",
+    aggregation: str = "sum",
+) -> jax.Array:
+    """Reference KPConv (convolution_ops.py:161-249). Shadow neighbors are
+    sent far away so their influence is zero."""
+    ns = supports.shape[0]
+    sup_pad = jnp.concatenate(
+        [supports, jnp.full((1, 3), 1e6, supports.dtype)], axis=0
+    )
+    feat_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], axis=0)
+    nbr = jnp.minimum(neighbors, ns)
+    rel = sup_pad[nbr] - queries[:, None, :]            # (Nq, K, 3)
+    d2 = jnp.sum(
+        (rel[:, :, None, :] - kernel_pts[None, None]) ** 2, axis=-1
+    )  # (Nq, K, P)
+    if influence == "linear":
+        infl = jnp.maximum(0.0, 1.0 - jnp.sqrt(d2 + 1e-12) / extent)
+    elif influence == "constant":
+        infl = jnp.ones_like(d2)
+    elif influence == "gaussian":
+        sigma = extent * 0.3
+        infl = jnp.exp(-d2 / (2 * sigma ** 2))
+    else:
+        raise ValueError(influence)
+    if aggregation == "closest":
+        closest = jnp.argmin(d2, axis=-1)
+        infl = infl * jax.nn.one_hot(closest, kernel_pts.shape[0])
+    g = feat_pad[nbr]  # (Nq, K, Cin)
+    weighted = jnp.einsum("nkp,nkc->npc", infl, g,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("npc,pco->no", weighted, weights,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# device-side multiscale pyramid
+# ---------------------------------------------------------------------------
+
+
+class PyramidLevel(NamedTuple):
+    points: jax.Array     # (N_l, 3)
+    batch: jax.Array      # (N_l,)
+    valid: jax.Array      # (N_l,)
+    neighbors: jax.Array  # (N_l, K) within-level
+    pools: jax.Array      # (N_{l+1}, K) coarse query -> fine support (last level: empty)
+    upsamples: jax.Array  # (N_l,) fine -> its coarse cell row (for decoder)
+
+
+def build_pyramid(
+    points: jax.Array,
+    batch: jax.Array,
+    valid: jax.Array,
+    num_layers: int,
+    dl0: float,
+    conv_radius: float = 2.5,
+    neighbor_cap: int = 32,
+    level_caps: Sequence[int] | None = None,
+) -> list[PyramidLevel]:
+    """The analog of tf_segmentation_inputs (reference common.py:1021-1158):
+    per layer, within-level radius neighborhoods, 2x grid pooling (barycenter
+    of each voxel cell, reference grid_subsampling.cpp:4-106), pooling
+    neighborhoods, and upsample assignment (= the fine point's voxel cell)."""
+    from seggroup_tpu.ops.voxelize import voxelize
+
+    levels = []
+    cur_p, cur_b, cur_v = points, batch, valid
+    dl = dl0
+    n0 = points.shape[0]
+    caps = level_caps or [max(256, n0 >> i) for i in range(1, num_layers + 1)]
+    for layer in range(num_layers):
+        r = dl * conv_radius
+        nbrs, _, _ = ball_query_pair(
+            cur_p, cur_b, cur_v, cur_p, cur_b, cur_v, r,
+            max_neighbors=neighbor_cap,
+        )
+        if layer + 1 < num_layers:
+            cap = caps[layer]
+            ic = jnp.floor(cur_p / (2 * dl)).astype(jnp.int32)
+            ic = ic - jnp.min(jnp.where(cur_v[:, None], ic, 2**30), axis=0)
+            vm = voxelize(ic, cur_b, cur_v, cap)
+            nxt_p = segment_mean(cur_p, vm.point2voxel, cap)  # barycenters
+            nxt_b = vm.voxel_coords[:, 0]
+            nxt_v = vm.voxel_valid
+            pools, _, _ = ball_query_pair(
+                cur_p, cur_b, cur_v, nxt_p, nxt_b, nxt_v, r,
+                max_neighbors=neighbor_cap,
+            )
+            ups = vm.point2voxel  # fine point -> coarse row
+        else:
+            pools = jnp.zeros((1, neighbor_cap), jnp.int32)
+            ups = jnp.zeros((cur_p.shape[0],), jnp.int32)
+        levels.append(PyramidLevel(cur_p, cur_b, cur_v, nbrs, pools, ups))
+        if layer + 1 < num_layers:
+            cur_p, cur_b, cur_v = nxt_p, nxt_b, nxt_v
+            dl *= 2
+    return levels
+
+
+# ---------------------------------------------------------------------------
+# blocks + KPFCNN
+# ---------------------------------------------------------------------------
+
+
+class TFBatchNorm(nn.Module):
+    """BN with TF decay convention (running = momentum*running +
+    (1-momentum)*batch; reference batch_norm_momentum=0.98)."""
+
+    momentum: float = 0.98
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        if train:
+            m = valid.astype(x.dtype)[:, None]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, 0) / cnt
+            var = jnp.sum(jnp.square(x - mean) * m, 0) / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, 0.1)
+
+
+class KPConvLayer(nn.Module):
+    """One (possibly deformable) KPConv with weights as flax params."""
+
+    out_channels: int
+    num_kernel_points: int = 15
+    kp_extent: float = 1.0
+    deformable: bool = False
+
+    @nn.compact
+    def __call__(self, queries, supports, neighbors, feats, dl):
+        p = self.num_kernel_points
+        cin = feats.shape[-1]
+        base = jnp.asarray(kernel_point_positions(p)) * (1.5 * self.kp_extent * dl)
+        extent = self.kp_extent * dl
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (p, cin, self.out_channels),
+        )
+        reg = jnp.zeros(())
+        if self.deformable:
+            w_off = self.param("offset_kernel", nn.initializers.zeros,
+                               (p, cin, p * 3))
+            off = kpconv_op(queries, supports, neighbors, feats, base, w_off,
+                            extent)
+            off = off.reshape(-1, p, 3) * extent  # (Nq, P, 3)
+            kp = base[None] + off
+            # fitting + repulsive regularizers (KPFCNN_model.py:217-296)
+            ns = supports.shape[0]
+            sup_pad = jnp.concatenate([supports, jnp.full((1, 3), 1e6)], 0)
+            rel = sup_pad[jnp.minimum(neighbors, ns)] - queries[:, None, :]
+            d2 = jnp.sum((rel[:, :, None, :] - kp[:, None]) ** 2, -1)  # (Nq,K,P)
+            fitting = jnp.mean(jnp.clip(jnp.min(d2, axis=1) / extent ** 2, 0, 1))
+            kpd = jnp.sum((kp[:, :, None, :] - kp[:, None, :, :]) ** 2, -1)
+            kpd = kpd + jnp.eye(p)[None] * 1e6
+            repulsive = jnp.mean(
+                jnp.clip(1.0 - jnp.sqrt(kpd + 1e-12) / extent, 0, None) ** 2
+            )
+            reg = fitting + repulsive
+            out = _deformable_apply(queries, supports, neighbors, feats, kp, w,
+                                    extent)
+        else:
+            out = kpconv_op(queries, supports, neighbors, feats, base, w, extent)
+        return out, reg
+
+
+def _deformable_apply(queries, supports, neighbors, feats, kp, w, extent):
+    """Same math as kpconv_op but with per-query kernel points (Nq, P, 3)."""
+    ns = supports.shape[0]
+    sup_pad = jnp.concatenate([supports, jnp.full((1, 3), 1e6)], 0)
+    feat_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], 0)
+    nbr = jnp.minimum(neighbors, ns)
+    rel = sup_pad[nbr] - queries[:, None, :]
+    d2 = jnp.sum((rel[:, :, None, :] - kp[:, None]) ** 2, -1)
+    infl = jnp.maximum(0.0, 1.0 - jnp.sqrt(d2 + 1e-12) / extent)
+    g = feat_pad[nbr]
+    weighted = jnp.einsum("nkp,nkc->npc", infl, g,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("npc,pco->no", weighted, w,
+                      preferred_element_type=jnp.float32)
+
+
+class ResnetBottleneck(nn.Module):
+    """unary(f/2) -> KPConv(f/2) -> unary(2f) + shortcut (reference
+    resnetb_block, network_blocks.py:290-338). Strided variant queries the
+    coarse level and max-pools the shortcut over the pool neighborhood."""
+
+    fdim: int
+    deformable: bool = False
+    strided: bool = False
+
+    @nn.compact
+    def __call__(self, lvl: PyramidLevel, nxt: PyramidLevel | None, feats,
+                 dl, train: bool):
+        f = self.fdim
+        if self.strided:
+            queries, q_valid = nxt.points, nxt.valid
+            neighbors = lvl.pools
+        else:
+            queries, q_valid = lvl.points, lvl.valid
+            neighbors = lvl.neighbors
+
+        x = nn.Dense(f // 2, use_bias=False, name="conv1")(feats)
+        x = _leaky(TFBatchNorm(name="bn1")(x, lvl.valid, train))
+        x, reg = KPConvLayer(f // 2, deformable=self.deformable, name="kp")(
+            queries, lvl.points, neighbors, x, dl
+        )
+        x = _leaky(TFBatchNorm(name="bn2")(x, q_valid, train))
+        x = nn.Dense(2 * f, use_bias=False, name="conv3")(x)
+        x = TFBatchNorm(name="bn3")(x, q_valid, train)
+
+        sc = feats
+        if self.strided:
+            # max-pool shortcut over the pooling neighborhood
+            ns = feats.shape[0]
+            pad = jnp.concatenate([sc, jnp.full((1, sc.shape[1]), -1e30)], 0)
+            pooled = jnp.max(pad[jnp.minimum(neighbors, ns)], axis=1)
+            sc = jnp.where(pooled <= -1e30, 0.0, pooled)
+        if sc.shape[-1] != 2 * f:
+            sc = nn.Dense(2 * f, use_bias=False, name="shortcut")(sc)
+            sc = TFBatchNorm(name="shortcut_bn")(sc, q_valid, train)
+        out = _leaky(x + sc)
+        return jnp.where(q_valid[:, None], out, 0.0), reg
+
+
+SCANNET_ARCHITECTURE = (
+    "simple", "resnetb", "resnetb_strided", "resnetb", "resnetb_strided",
+    "resnetb_deformable", "resnetb_deformable_strided", "resnetb_deformable",
+    "resnetb_deformable_strided", "resnetb_deformable",
+    "nearest_upsample", "unary", "nearest_upsample", "unary",
+    "nearest_upsample", "unary", "nearest_upsample", "unary",
+)
+
+
+class KPFCNN(nn.Module):
+    """Segmentation FCNN over a precomputed pyramid (reference
+    assemble_CNN/FCNN_blocks, network_blocks.py:1018-1148 + KPFCNN_model.py).
+    """
+
+    num_classes: int = 20
+    architecture: Sequence[str] = SCANNET_ARCHITECTURE
+    first_features_dim: int = 64
+    dl0: float = 0.04
+
+    @nn.compact
+    def __call__(self, pyramid: list[PyramidLevel], in_feats, train: bool = True):
+        fdim = self.first_features_dim
+        dl = self.dl0
+        layer = 0
+        feats = in_feats
+        skips = []
+        regs = jnp.zeros(())
+        i = 0
+        for name in self.architecture:
+            lvl = pyramid[layer]
+            if name == "simple":
+                x, reg = KPConvLayer(fdim // 2, name=f"b{i}_kp")(
+                    lvl.points, lvl.points, lvl.neighbors, feats, dl
+                )
+                feats = _leaky(TFBatchNorm(name=f"b{i}_bn")(x, lvl.valid, train))
+                regs += reg
+            elif name.startswith("resnetb"):
+                deform = "deformable" in name
+                strided = "strided" in name
+                if strided:
+                    skips.append(feats)
+                nxt = pyramid[layer + 1] if strided else None
+                feats, reg = ResnetBottleneck(
+                    fdim, deform, strided, name=f"b{i}")(
+                    lvl, nxt, feats, dl, train)
+                regs += reg
+                if strided:
+                    layer += 1
+                    dl *= 2
+                    fdim *= 2
+            elif name == "nearest_upsample":
+                # decoder: gather coarse features at each fine point's cell
+                layer -= 1
+                dl /= 2
+                fdim //= 2
+                fine = pyramid[layer]
+                cap = feats.shape[0]
+                pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], 0)
+                up = pad[jnp.minimum(fine.upsamples, cap)]
+                feats = jnp.concatenate([up, skips.pop()], axis=-1)
+            elif name == "unary":
+                lvl = pyramid[layer]
+                feats = nn.Dense(fdim, use_bias=False, name=f"b{i}_unary")(feats)
+                feats = _leaky(TFBatchNorm(name=f"b{i}_bn")(feats, lvl.valid, train))
+            else:
+                raise ValueError(name)
+            i += 1
+
+        lvl = pyramid[0]
+        head = nn.Dense(self.first_features_dim, use_bias=False, name="head")(feats)
+        head = _leaky(TFBatchNorm(name="head_bn")(head, lvl.valid, train))
+        logits = nn.Dense(self.num_classes, name="logits")(head)
+        return jnp.where(lvl.valid[:, None], logits, 0.0), regs

@@ -17,6 +17,7 @@ from seggroup_tpu.ops.knn import (
     masked_knn,
     cluster_knn,
     ball_query,
+    ball_query_pair,
 )
 from seggroup_tpu.ops.grouping import (
     SegGraph,

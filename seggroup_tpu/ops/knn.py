@@ -176,6 +176,81 @@ def _cell_key(cells: jax.Array, dims: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_neighbors", "bucket_cap"))
+def ball_query_pair(
+    support: jax.Array,
+    support_batch: jax.Array,
+    support_valid: jax.Array,
+    queries: jax.Array,
+    query_batch: jax.Array,
+    query_valid: jax.Array,
+    radius: float | jax.Array,
+    max_neighbors: int = 64,
+    bucket_cap: int = 16,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-radius neighbors of `queries` among `support` (two point sets;
+    the KPConv 'pools' neighborhoods, reference tf_batch_neighbors.cpp:8-120).
+    Returns (neighbors (Nq, K) into support — == Ns for empty slots, counts,
+    overflow). Empty slots point at support row Ns (a shadow row; callers pad
+    features with a zero row, exactly the reference's shadow-point scheme,
+    convolution_ops.py:190-194)."""
+    ns = support.shape[0]
+    nq = queries.shape[0]
+    K = max_neighbors
+    radius = jnp.float32(radius)
+    cell = radius
+
+    s_cells = grid_hash(support, cell)
+    q_cells = grid_hash(queries, cell)
+    cmin = jnp.minimum(
+        jnp.min(jnp.where(support_valid[:, None], s_cells, 2**30), axis=0),
+        jnp.min(jnp.where(query_valid[:, None], q_cells, 2**30), axis=0),
+    )
+    s_cells = s_cells - cmin + 1
+    q_cells = q_cells - cmin + 1
+    cmax = jnp.max(jnp.where(support_valid[:, None], s_cells, 0), axis=0)
+    dims = cmax + 2
+
+    span = dims[0] * dims[1] * dims[2]
+    s_key = _cell_key(s_cells, dims) + support_batch.astype(jnp.int32) * span
+    s_key = jnp.where(support_valid, s_key, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(s_key).astype(jnp.int32)
+    s_key_sorted = s_key[order]
+
+    offsets = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(27, 3)
+
+    def gather_cell(off):
+        nb_cells = q_cells + off[None, :]
+        nb_key = _cell_key(nb_cells, dims) + query_batch.astype(jnp.int32) * span
+        start = jnp.searchsorted(s_key_sorted, nb_key, side="left")
+        slots = jnp.minimum(start[:, None] + jnp.arange(bucket_cap)[None, :],
+                            ns - 1)
+        ok = s_key_sorted[slots] == nb_key[:, None]
+        return order[slots], ok
+
+    cand_idx, cand_ok = jax.vmap(gather_cell)(offsets)
+    cand_idx = jnp.moveaxis(cand_idx, 0, 1).reshape(nq, 27 * bucket_cap)
+    cand_ok = jnp.moveaxis(cand_ok, 0, 1).reshape(nq, 27 * bucket_cap)
+
+    d = jnp.sum((queries[:, None, :] - support[cand_idx]) ** 2, axis=-1)
+    in_ball = (cand_ok & (d <= radius * radius) & query_valid[:, None]
+               & support_valid[cand_idx])
+    big = jnp.float32(1e30)
+    d = jnp.where(in_ball, d, big)
+    neg_d, sel = jax.lax.top_k(-d, K)
+    nbrs = jnp.take_along_axis(cand_idx, sel, axis=1).astype(jnp.int32)
+    got = neg_d > -big
+    counts = jnp.sum(got, axis=1).astype(jnp.int32)
+    nbrs = jnp.where(got, nbrs, jnp.int32(ns))  # shadow index
+    overflow = jnp.sum(in_ball, axis=1).astype(jnp.int32) > K
+    return nbrs, counts, overflow
+
+
+@partial(jax.jit, static_argnames=("max_neighbors", "bucket_cap"))
 def ball_query(
     coords: jax.Array,
     radius: float | jax.Array,

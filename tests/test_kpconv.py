@@ -1,0 +1,134 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seggroup_tpu.models.kpconv import (
+    KPFCNN,
+    build_pyramid,
+    kernel_point_positions,
+    kpconv_op,
+)
+from seggroup_tpu.ops.knn import ball_query_pair
+
+
+def test_kernel_points_well_spread():
+    kp = kernel_point_positions(15)
+    assert kp.shape == (15, 3)
+    np.testing.assert_allclose(kp[0], 0, atol=1e-6)  # center point fixed
+    d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    assert d.min() > 0.25  # no collapsed pairs
+    assert np.abs(kp).max() <= 1.0 + 1e-5
+
+
+def test_ball_query_pair_oracle(rng):
+    ns, nq = 200, 50
+    sup = rng.random((ns, 3)).astype(np.float32) * 2
+    que = rng.random((nq, 3)).astype(np.float32) * 2
+    sb = np.zeros(ns, np.int32)
+    qb = np.zeros(nq, np.int32)
+    r = 0.3
+    nbrs, counts, _ = ball_query_pair(
+        jnp.array(sup), jnp.array(sb), jnp.ones(ns, bool),
+        jnp.array(que), jnp.array(qb), jnp.ones(nq, bool),
+        r, max_neighbors=64, bucket_cap=64,
+    )
+    nbrs, counts = np.asarray(nbrs), np.asarray(counts)
+    for i in range(nq):
+        d = ((sup - que[i]) ** 2).sum(-1)
+        want = set(np.where(d <= r * r)[0])
+        got = set(nbrs[i][nbrs[i] < ns])
+        assert got == want
+        # shadow slots point at ns
+        assert (nbrs[i][counts[i]:] == ns).all()
+
+
+def test_kpconv_op_center_only(rng):
+    """A query whose only neighbor sits exactly at a kernel point position
+    must produce exactly that kernel's weight row (influence 1 there)."""
+    kp = jnp.asarray(kernel_point_positions(15)) * 0.1
+    q = jnp.zeros((1, 3))
+    sup = kp[3:4]  # support point at kernel point 3
+    nbrs = jnp.array([[0]], jnp.int32)
+    feats = jnp.ones((1, 2))
+    w = jnp.array(np.random.default_rng(0).normal(size=(15, 2, 4)),
+                  jnp.float32)
+    out = kpconv_op(q, sup, nbrs, feats, kp, w, extent=0.1)
+    # influence of kernel 3 = 1; other kernels ~ max(0, 1-d/extent)
+    d = np.linalg.norm(np.asarray(kp) - np.asarray(kp)[3], axis=1)
+    infl = np.maximum(0, 1 - d / 0.1)
+    want = (infl[:, None, None] * np.asarray(w)).sum((0, 1))
+    np.testing.assert_allclose(np.asarray(out)[0], want, rtol=1e-4, atol=1e-5)
+
+
+def test_pyramid_shapes(rng):
+    n = 1024
+    pts = rng.random((n, 3)).astype(np.float32) * 4
+    batch = (np.arange(n) % 2).astype(np.int32)
+    valid = np.ones(n, bool)
+    valid[1000:] = False
+    pyr = build_pyramid(jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                        num_layers=5, dl0=0.08,
+                        level_caps=[512, 256, 128, 64])
+    assert len(pyr) == 5
+    for lv in pyr[1:]:
+        assert int(lv.valid.sum()) > 0
+    # monotone shrink
+    counts = [int(lv.valid.sum()) for lv in pyr]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+@pytest.mark.slow
+def test_kpfcnn_forward_and_grads(rng):
+    n = 1024
+    pts = rng.random((n, 3)).astype(np.float32) * 3
+    batch = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    colors = rng.random((n, 3)).astype(np.float32)
+    feats = np.concatenate([np.ones((n, 1)), colors], 1).astype(np.float32)
+
+    pyr = build_pyramid(jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                        num_layers=5, dl0=0.08,
+                        level_caps=[512, 256, 128, 64])
+    model = KPFCNN(num_classes=20, first_features_dim=16, dl0=0.08)
+    variables = model.init(jax.random.PRNGKey(0), pyr, jnp.array(feats),
+                           train=False)
+    (logits, regs) = model.apply(variables, pyr, jnp.array(feats), train=False)
+    assert logits.shape == (n, 20)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert np.isfinite(float(regs))
+
+    labels = jnp.array(rng.integers(0, 20, n))
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def loss_fn(p):
+        (lg, rg), _ = model.apply({"params": p, "batch_stats": stats}, pyr,
+                                  jnp.array(feats), train=True,
+                                  mutable=["batch_stats"])
+        lp = jax.nn.log_softmax(lg, -1)
+        nll = -jnp.take_along_axis(lp, labels[:, None], 1)[:, 0]
+        return jnp.mean(nll) + 0.1 * rg
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert total > 0
+
+
+def test_kpfcnn_param_count():
+    """Full ScanNet config (fdim 64, 15 kernel points) should land near the
+    reference's 14.97M params (FAQ.md:46)."""
+    n = 256
+    rng = np.random.default_rng(0)
+    pts = rng.random((n, 3)).astype(np.float32)
+    pyr = build_pyramid(jnp.array(pts), jnp.zeros(n, jnp.int32),
+                        jnp.ones(n, bool), num_layers=5, dl0=0.04,
+                        level_caps=[128, 64, 32, 16])
+    feats = jnp.ones((n, 4))
+    model = KPFCNN(num_classes=20, first_features_dim=64, dl0=0.04)
+    variables = model.init(jax.random.PRNGKey(0), pyr, feats, train=False)
+    count = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert 12e6 < count < 18e6, count

@@ -1,0 +1,217 @@
+// Host-side native kernels for the seggroup-tpu data pipeline.
+//
+// C++ counterparts of the reference's native preprocessing stack
+// (SURVEY.md §2.6): grid subsampling (reference kpconv/cpp_wrappers/
+// cpp_subsampling/grid_subsampling.cpp:4-106), fixed-radius neighbor lists
+// (reference kpconv/tf_custom_ops/neighbors.cpp over nanoflann — here a
+// uniform grid hash, which is O(1) per query at fixed radius), the
+// point->voxel rulebook (reference pointgroup/lib/pointgroup_ops/src/
+// voxelize/voxelize.cpp:59-152 over dense_hash_map), nearest-neighbor
+// unmapping (reference seggroup/dataset/scannet/util.py:538-550, the chunked
+// brute-force NN), and union-find connected components for weak-label prep
+// (reference util.py:252-265).
+//
+// Device compute stays in JAX/XLA/Pallas; these run in the input pipeline
+// where the reference also ran native code. Plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+inline uint64_t cell_key(int32_t x, int32_t y, int32_t z) {
+    // 21 bits per axis, offset to keep non-negative
+    const uint64_t B = 1u << 20;
+    return ((uint64_t)(x + B) << 42) | ((uint64_t)(y + B) << 21) |
+           (uint64_t)(z + B);
+}
+
+struct GridHash {
+    std::unordered_map<uint64_t, std::vector<int32_t>> cells;
+    float cell_size;
+
+    GridHash(const float* pts, int64_t n, float cs) : cell_size(cs) {
+        cells.reserve((size_t)n);
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t cx = (int32_t)std::floor(pts[3 * i] / cs);
+            int32_t cy = (int32_t)std::floor(pts[3 * i + 1] / cs);
+            int32_t cz = (int32_t)std::floor(pts[3 * i + 2] / cs);
+            cells[cell_key(cx, cy, cz)].push_back((int32_t)i);
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Barycenter grid subsampling. Returns number of output points.
+// out_points must hold n*3 floats; out_inverse n int32 (point -> cell id).
+int64_t grid_subsample(const float* points, int64_t n, float cell_size,
+                       float* out_points, int32_t* out_inverse) {
+    std::unordered_map<uint64_t, int32_t> id_of;
+    std::vector<double> sum;
+    std::vector<int32_t> cnt;
+    id_of.reserve((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t cx = (int32_t)std::floor(points[3 * i] / cell_size);
+        int32_t cy = (int32_t)std::floor(points[3 * i + 1] / cell_size);
+        int32_t cz = (int32_t)std::floor(points[3 * i + 2] / cell_size);
+        uint64_t k = cell_key(cx, cy, cz);
+        auto it = id_of.find(k);
+        int32_t id;
+        if (it == id_of.end()) {
+            id = (int32_t)(sum.size() / 3);
+            id_of.emplace(k, id);
+            sum.insert(sum.end(), {0.0, 0.0, 0.0});
+            cnt.push_back(0);
+        } else {
+            id = it->second;
+        }
+        sum[3 * id] += points[3 * i];
+        sum[3 * id + 1] += points[3 * i + 1];
+        sum[3 * id + 2] += points[3 * i + 2];
+        cnt[id] += 1;
+        out_inverse[i] = id;
+    }
+    int64_t m = (int64_t)cnt.size();
+    for (int64_t j = 0; j < m; ++j) {
+        out_points[3 * j] = (float)(sum[3 * j] / cnt[j]);
+        out_points[3 * j + 1] = (float)(sum[3 * j + 1] / cnt[j]);
+        out_points[3 * j + 2] = (float)(sum[3 * j + 2] / cnt[j]);
+    }
+    return m;
+}
+
+// Fixed-radius neighbors of queries among supports, capped at max_k.
+// out_idx: nq*max_k int32 (filled with ns where empty); out_cnt: nq int32.
+void radius_neighbors(const float* support, int64_t ns, const float* queries,
+                      int64_t nq, float radius, int32_t max_k,
+                      int32_t* out_idx, int32_t* out_cnt) {
+    GridHash grid(support, ns, radius);
+    float r2 = radius * radius;
+    for (int64_t q = 0; q < nq; ++q) {
+        const float* Q = queries + 3 * q;
+        int32_t cx = (int32_t)std::floor(Q[0] / radius);
+        int32_t cy = (int32_t)std::floor(Q[1] / radius);
+        int32_t cz = (int32_t)std::floor(Q[2] / radius);
+        int32_t cnt = 0;
+        for (int dx = -1; dx <= 1 && cnt < max_k; ++dx)
+            for (int dy = -1; dy <= 1 && cnt < max_k; ++dy)
+                for (int dz = -1; dz <= 1 && cnt < max_k; ++dz) {
+                    auto it = grid.cells.find(
+                        cell_key(cx + dx, cy + dy, cz + dz));
+                    if (it == grid.cells.end()) continue;
+                    for (int32_t i : it->second) {
+                        float ddx = support[3 * i] - Q[0];
+                        float ddy = support[3 * i + 1] - Q[1];
+                        float ddz = support[3 * i + 2] - Q[2];
+                        if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
+                            out_idx[q * max_k + cnt] = i;
+                            if (++cnt >= max_k) break;
+                        }
+                    }
+                }
+        out_cnt[q] = cnt;
+        for (int32_t j = cnt; j < max_k; ++j) out_idx[q * max_k + j] = (int32_t)ns;
+    }
+}
+
+// Point->voxel rulebook: compacted voxel ids in first-appearance order.
+// Returns voxel count. out_voxel: n int32; out_coords: n*4 int32 (valid rows
+// = count), rows are (batch, x, y, z).
+int64_t voxelize_rulebook(const int32_t* coords, const int32_t* batch,
+                          int64_t n, int32_t* out_voxel, int32_t* out_coords) {
+    std::unordered_map<uint64_t, int32_t> id_of;
+    id_of.reserve((size_t)n);
+    int32_t next = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t k = cell_key(coords[3 * i], coords[3 * i + 1],
+                              coords[3 * i + 2]) ^
+                     ((uint64_t)batch[i] << 61);
+        auto it = id_of.find(k);
+        int32_t id;
+        if (it == id_of.end()) {
+            id = next++;
+            id_of.emplace(k, id);
+            out_coords[4 * id] = batch[i];
+            out_coords[4 * id + 1] = coords[3 * i];
+            out_coords[4 * id + 2] = coords[3 * i + 1];
+            out_coords[4 * id + 3] = coords[3 * i + 2];
+        } else {
+            id = it->second;
+        }
+        out_voxel[i] = id;
+    }
+    return next;
+}
+
+// Nearest resampled point per original vertex (grid-accelerated; expands
+// the search ring until a hit). out: nv int32.
+void nearest_neighbor_map(const float* verts, int64_t nv,
+                          const float* resampled, int64_t nr, float cell,
+                          int32_t* out) {
+    GridHash grid(resampled, nr, cell);
+    for (int64_t v = 0; v < nv; ++v) {
+        const float* Q = verts + 3 * v;
+        int32_t cx = (int32_t)std::floor(Q[0] / cell);
+        int32_t cy = (int32_t)std::floor(Q[1] / cell);
+        int32_t cz = (int32_t)std::floor(Q[2] / cell);
+        int32_t best = -1;
+        float best_d = 1e30f;
+        for (int ring = 0; ring < 64; ++ring) {
+            for (int dx = -ring; dx <= ring; ++dx)
+                for (int dy = -ring; dy <= ring; ++dy)
+                    for (int dz = -ring; dz <= ring; ++dz) {
+                        if (std::max(std::abs(dx),
+                                     std::max(std::abs(dy), std::abs(dz))) !=
+                            ring)
+                            continue;  // shell only
+                        auto it = grid.cells.find(
+                            cell_key(cx + dx, cy + dy, cz + dz));
+                        if (it == grid.cells.end()) continue;
+                        for (int32_t i : it->second) {
+                            float ddx = resampled[3 * i] - Q[0];
+                            float ddy = resampled[3 * i + 1] - Q[1];
+                            float ddz = resampled[3 * i + 2] - Q[2];
+                            float d = ddx * ddx + ddy * ddy + ddz * ddz;
+                            if (d < best_d) {
+                                best_d = d;
+                                best = i;
+                            }
+                        }
+                    }
+            // once a hit exists and the next ring cannot beat it, stop
+            if (best >= 0 &&
+                best_d <= (float)(ring) * (float)(ring)*cell * cell)
+                break;
+        }
+        out[v] = best;
+    }
+}
+
+// Union-find connected components over an edge list. labels: n int32 (min
+// member index per component).
+void connected_components_uf(const int32_t* edges, int64_t ne, int64_t n,
+                             int32_t* labels) {
+    std::vector<int32_t> parent(n);
+    for (int64_t i = 0; i < n; ++i) parent[i] = (int32_t)i;
+    auto find = [&](int32_t a) {
+        while (parent[a] != a) {
+            parent[a] = parent[parent[a]];
+            a = parent[a];
+        }
+        return a;
+    };
+    for (int64_t e = 0; e < ne; ++e) {
+        int32_t ra = find(edges[2 * e]);
+        int32_t rb = find(edges[2 * e + 1]);
+        if (ra != rb) parent[ra < rb ? rb : ra] = ra < rb ? ra : rb;
+    }
+    for (int64_t i = 0; i < n; ++i) labels[i] = find((int32_t)i);
+}
+
+}  // extern "C"

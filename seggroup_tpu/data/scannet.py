@@ -119,17 +119,14 @@ def resample_map(num_verts: int, num_points: int, rng: np.random.Generator):
 def compute_unmap(verts: np.ndarray, mapping: np.ndarray, chunk: int = 100_000):
     """Original vertex -> nearest resampled point (reference util.py:538-550).
     When every vertex appears in the resample (rep >= 1) this is the identity
-    into the first copy; otherwise chunked brute-force NN."""
+    into the first copy; otherwise grid-accelerated NN (native C++ when
+    available, csrc/nearest_neighbor_map)."""
     num_verts = len(verts)
     if len(mapping) >= num_verts and (mapping[:num_verts] == np.arange(num_verts)).all():
         return np.arange(num_verts, dtype=np.int32)
-    res = verts[mapping, :3]
-    out = np.empty(num_verts, np.int32)
-    for i in range(0, num_verts, chunk):
-        q = verts[i : i + chunk, :3]
-        d = ((q[:, None, :] - res[None, :, :]) ** 2).sum(-1)
-        out[i : i + chunk] = np.argmin(d, axis=1)
-    return out
+    from seggroup_tpu import native
+
+    return native.nearest_neighbor_map(verts[:, :3], verts[mapping, :3])
 
 
 # ---------------------------------------------------------------------------

@@ -31,13 +31,22 @@ IGNORE_LABEL = 255
 
 def voxelize_scene(coords: np.ndarray, colors: np.ndarray, labels: np.ndarray,
                    voxel_size: float):
-    """Returns (int_coords (V,3), feats (V,3), labels (V,), point2voxel (N,))."""
+    """Returns (int_coords (V,3), feats (V,3), labels (V,), point2voxel (N,)).
+    Uses the native C++ rulebook builder when available (csrc/, the analog of
+    reference voxelize.cpp:59-152)."""
+    from seggroup_tpu import native
+
     ic = np.floor(coords / voxel_size).astype(np.int32)
     ic -= ic.min(0)
-    key = (ic[:, 0].astype(np.int64) * 2**42
-           + ic[:, 1].astype(np.int64) * 2**21 + ic[:, 2])
-    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
-    return ic[first], colors[first], labels[first], inv.astype(np.int32)
+    p2v, vc = native.voxelize_rulebook(ic, np.zeros(len(ic), np.int32))
+    first = np.zeros(len(vc), np.int64)
+    seen = np.full(len(vc), -1, np.int64)
+    idx = np.arange(len(ic))
+    # first occurrence of each voxel id
+    rev = p2v[::-1]
+    seen[rev] = idx[::-1]
+    first = seen
+    return vc[:, 1:4], colors[first], labels[first], p2v
 
 
 def make_voxel_batch(

@@ -22,3 +22,17 @@ def get_model(name: str, **kwargs):
 
 
 register("seggroup_gnn")(SegGroupGNN)
+
+
+def _register_lazy():
+    from seggroup_tpu.models.kpconv import KPFCNN
+    from seggroup_tpu.models.minkunet import VARIANTS, make_minkunet
+    from seggroup_tpu.models.pointgroup import PointGroup
+
+    register("pointgroup")(PointGroup)
+    register("kpfcnn")(KPFCNN)
+    for name in VARIANTS:
+        _REGISTRY[name] = (lambda v: lambda **kw: make_minkunet(v, **kw))(name)
+
+
+_register_lazy()

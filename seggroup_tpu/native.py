@@ -1,0 +1,191 @@
+"""ctypes bindings to the native host library (csrc/), with numpy fallbacks.
+
+Build with `make -C seggroup_tpu/csrc` (done automatically on first import if
+a compiler is available). Every entry point has a pure-numpy fallback so the
+framework works without the native lib — the native path just makes the data
+pipeline faster, mirroring where the reference used C++ (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "csrc")
+_LIB_PATH = os.path.join(_DIR, "libseggroup_native.so")
+_lib = None
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True,
+                       timeout=120)
+    except Exception:
+        pass
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
+    if os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        c_f32 = ctypes.POINTER(ctypes.c_float)
+        c_i32 = ctypes.POINTER(ctypes.c_int32)
+        lib.grid_subsample.restype = ctypes.c_int64
+        lib.grid_subsample.argtypes = [c_f32, ctypes.c_int64, ctypes.c_float,
+                                       c_f32, c_i32]
+        lib.radius_neighbors.restype = None
+        lib.radius_neighbors.argtypes = [c_f32, ctypes.c_int64, c_f32,
+                                         ctypes.c_int64, ctypes.c_float,
+                                         ctypes.c_int32, c_i32, c_i32]
+        lib.voxelize_rulebook.restype = ctypes.c_int64
+        lib.voxelize_rulebook.argtypes = [c_i32, c_i32, ctypes.c_int64,
+                                          c_i32, c_i32]
+        lib.nearest_neighbor_map.restype = None
+        lib.nearest_neighbor_map.argtypes = [c_f32, ctypes.c_int64, c_f32,
+                                             ctypes.c_int64, ctypes.c_float,
+                                             c_i32]
+        lib.connected_components_uf.restype = None
+        lib.connected_components_uf.argtypes = [c_i32, ctypes.c_int64,
+                                                ctypes.c_int64, c_i32]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def grid_subsample(points: np.ndarray, cell_size: float):
+    """(n,3) float32 -> (barycenters (m,3), inverse (n,))."""
+    points = np.ascontiguousarray(points, np.float32)
+    n = len(points)
+    lib = get_lib()
+    if lib is not None:
+        out_p = np.empty((n, 3), np.float32)
+        inv = np.empty(n, np.int32)
+        m = lib.grid_subsample(_ptr(points, ctypes.c_float), n,
+                               ctypes.c_float(cell_size),
+                               _ptr(out_p, ctypes.c_float),
+                               _ptr(inv, ctypes.c_int32))
+        return out_p[:m].copy(), inv
+    # fallback
+    ic = np.floor(points / cell_size).astype(np.int64)
+    key = (ic[:, 0] * 2**42) + (ic[:, 1] * 2**21) + ic[:, 2]
+    uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx)  # first-appearance order like the native
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    inv = rank[inv]
+    sums = np.zeros((len(uniq), 3))
+    np.add.at(sums, inv, points)
+    cnt = np.bincount(inv, minlength=len(uniq))[:, None]
+    return (sums / cnt).astype(np.float32), inv.astype(np.int32)
+
+
+def radius_neighbors(support: np.ndarray, queries: np.ndarray, radius: float,
+                     max_k: int):
+    """Returns (idx (nq, max_k) int32 with ns for empty, counts (nq,))."""
+    support = np.ascontiguousarray(support, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    ns, nq = len(support), len(queries)
+    lib = get_lib()
+    if lib is not None:
+        idx = np.empty((nq, max_k), np.int32)
+        cnt = np.empty(nq, np.int32)
+        lib.radius_neighbors(_ptr(support, ctypes.c_float), ns,
+                             _ptr(queries, ctypes.c_float), nq,
+                             ctypes.c_float(radius), max_k,
+                             _ptr(idx, ctypes.c_int32),
+                             _ptr(cnt, ctypes.c_int32))
+        return idx, cnt
+    idx = np.full((nq, max_k), ns, np.int32)
+    cnt = np.zeros(nq, np.int32)
+    r2 = radius * radius
+    for q in range(nq):
+        d = ((support - queries[q]) ** 2).sum(1)
+        hits = np.where(d <= r2)[0][:max_k]
+        idx[q, : len(hits)] = hits
+        cnt[q] = len(hits)
+    return idx, cnt
+
+
+def voxelize_rulebook(coords: np.ndarray, batch: np.ndarray):
+    """(n,3) int32 + (n,) int32 -> (point2voxel (n,), voxel_coords (m,4))."""
+    coords = np.ascontiguousarray(coords, np.int32)
+    batch = np.ascontiguousarray(batch, np.int32)
+    n = len(coords)
+    lib = get_lib()
+    if lib is not None:
+        p2v = np.empty(n, np.int32)
+        vc = np.empty((n, 4), np.int32)
+        m = lib.voxelize_rulebook(_ptr(coords, ctypes.c_int32),
+                                  _ptr(batch, ctypes.c_int32), n,
+                                  _ptr(p2v, ctypes.c_int32),
+                                  _ptr(vc, ctypes.c_int32))
+        return p2v, vc[:m].copy()
+    key = (batch.astype(np.int64) * 2**63 // 2**63)  # placeholder
+    key = (batch.astype(np.int64) << 48) ^ (
+        coords[:, 0].astype(np.int64) * 2**32
+        + coords[:, 1].astype(np.int64) * 2**16 + coords[:, 2])
+    uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    p2v = rank[inv].astype(np.int32)
+    vc = np.concatenate([batch[first_idx[order]][:, None],
+                         coords[first_idx[order]]], 1).astype(np.int32)
+    return p2v, vc
+
+
+def nearest_neighbor_map(verts: np.ndarray, resampled: np.ndarray,
+                         cell: float = 0.1):
+    verts = np.ascontiguousarray(verts, np.float32)
+    resampled = np.ascontiguousarray(resampled, np.float32)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(len(verts), np.int32)
+        lib.nearest_neighbor_map(_ptr(verts, ctypes.c_float), len(verts),
+                                 _ptr(resampled, ctypes.c_float),
+                                 len(resampled), ctypes.c_float(cell),
+                                 _ptr(out, ctypes.c_int32))
+        return out
+    out = np.empty(len(verts), np.int32)
+    chunk = 4096
+    for i in range(0, len(verts), chunk):
+        d = ((verts[i:i + chunk, None] - resampled[None]) ** 2).sum(-1)
+        out[i:i + chunk] = d.argmin(1)
+    return out
+
+
+def connected_components(edges: np.ndarray, n: int):
+    edges = np.ascontiguousarray(edges, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        labels = np.empty(n, np.int32)
+        lib.connected_components_uf(_ptr(edges, ctypes.c_int32), len(edges),
+                                    n, _ptr(labels, ctypes.c_int32))
+        return labels
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)], np.int32)

@@ -24,6 +24,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from seggroup_tpu.types import Scene
 
 
+def initialize_multihost(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bring-up (the reference's init_process_group analog,
+    seggroup/train.py:83-84): one jax.distributed.initialize per host; the
+    global device mesh then spans all hosts, collectives ride ICI within a
+    slice and DCN across slices. No-op for single-host runs."""
+    if coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if num_devices is not None:

@@ -1,0 +1,172 @@
+"""Data layer: PLY IO roundtrip, prep pipeline on a synthetic raw scene,
+weak-label styles, transforms, visualization."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from seggroup_tpu.data import transforms as T
+from seggroup_tpu.data.ply import read_ply, write_ply
+from seggroup_tpu.data.scannet import (
+    PrepConfig,
+    generate_weak_seg_ids,
+    prepare_scene,
+    resample_map,
+    save_scene_npz,
+    load_scene_npz,
+    segment_adjacency,
+)
+from seggroup_tpu.data.visualize import colorize_labels, visualize_labels
+from seggroup_tpu.data.voxel_dataset import make_voxel_batch
+
+
+def make_raw_scene(rng, v=800, n_seg=16, n_inst=4):
+    verts = np.zeros((v, 6), np.float32)
+    seg_labels = np.zeros(v, np.int64)
+    real_sem = np.zeros(v, np.int32)
+    real_ins = np.zeros(v, np.int32)
+    per = v // n_seg
+    centers = rng.uniform(0, 8, (n_inst, 3))
+    for s in range(n_seg):
+        inst = s % n_inst
+        c = centers[inst] + rng.normal(scale=0.3, size=3)
+        sl = slice(s * per, (s + 1) * per if s < n_seg - 1 else v)
+        cnt = sl.stop - sl.start
+        verts[sl, :3] = c + rng.normal(scale=0.1, size=(cnt, 3))
+        verts[sl, 3:] = rng.integers(0, 255, 3)
+        seg_labels[sl] = s * 7 + 3  # non-compact raw ids
+        real_sem[sl] = 3 + inst
+        real_ins[sl] = inst + 1
+    # faces: triangles within segments + a few linking consecutive segments
+    faces = []
+    for s in range(n_seg):
+        base = s * per
+        for i in range(0, per - 3, 3):
+            faces.append([base + i, base + i + 1, base + i + 2])
+        if s + 1 < n_seg:
+            faces.append([base, base + 1, (s + 1) * per])
+    faces = np.array(faces, np.int32)
+    return dict(vertices=verts, faces=faces, seg_labels=seg_labels,
+                real_sem=real_sem, real_ins=real_ins)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = {
+        "x": rng.random(50).astype(np.float32),
+        "y": rng.random(50).astype(np.float32),
+        "z": rng.random(50).astype(np.float32),
+        "red": rng.integers(0, 255, 50).astype(np.uint8),
+        "green": rng.integers(0, 255, 50).astype(np.uint8),
+        "blue": rng.integers(0, 255, 50).astype(np.uint8),
+    }
+    faces = rng.integers(0, 50, (20, 3)).astype(np.int32)
+    p = str(tmp_path / "test.ply")
+    write_ply(p, pts, faces)
+    back = read_ply(p)
+    np.testing.assert_allclose(back["vertex"]["x"], pts["x"], rtol=1e-6)
+    np.testing.assert_array_equal(back["vertex"]["red"], pts["red"])
+    np.testing.assert_array_equal(back["face"], faces)
+
+
+def test_resample_map():
+    rng = np.random.default_rng(0)
+    m = resample_map(100, 350, rng)
+    assert len(m) == 350
+    np.testing.assert_array_equal(np.sort(np.unique(m)), np.arange(100))
+    # first 300 = 3 full repeats
+    np.testing.assert_array_equal(m[:100], np.arange(100))
+
+
+def test_prepare_scene_roundtrip(tmp_path, rng):
+    raw = make_raw_scene(rng)
+    cfg = PrepConfig(num_points=1024, max_segments=32, max_edges=256)
+    prep = prepare_scene(raw, cfg, style="maxseg")
+    assert prep["points"].shape == (1024, 6)
+    assert prep["points"][:, 3:].max() <= 1.0 + 1e-6
+    assert prep["point2seg"].max() < 32
+    # one weak label per instance (maxseg, connected scenes)
+    labeled = prep["weak_ins"][prep["weak_ins"] >= 0]
+    assert len(np.unique(labeled)) == 4
+    # weak sem matches GT sem - 1 for labeled segments
+    for s in np.where(prep["weak_ins"] >= 0)[0]:
+        pts = prep["point2seg"] == s
+        gt = prep["real_sem"][pts]
+        assert prep["weak_sem"][s] == np.bincount(gt[gt > 0]).argmax() - 1
+
+    path = str(tmp_path / "scene.npz")
+    save_scene_npz(path, prep)
+    scene, extras = load_scene_npz(path)
+    assert scene.points.shape == (1024, 6)
+    assert "unmap" in extras
+
+
+def test_weak_label_styles(rng):
+    raw = make_raw_scene(rng)
+    adj = segment_adjacency(raw["faces"], raw["seg_labels"].astype(np.int32))
+    for style in ["maxseg", "rand", "mainseg"]:
+        ids = generate_weak_seg_ids(
+            raw["seg_labels"], raw["real_ins"], adj, style=style,
+            rng=np.random.default_rng(1), main_num=3,
+        )
+        assert len(ids) >= 4  # at least one per instance
+        # every chosen segment belongs to exactly one instance
+        for s in ids:
+            sel = raw["seg_labels"] == s
+            assert len(np.unique(raw["real_ins"][sel])) == 1
+
+
+def test_manual_style():
+    seg_labels = np.array([0, 0, 1, 1, 2, 2])
+    ids = generate_weak_seg_ids(
+        seg_labels, np.zeros(6, np.int32), np.zeros((0, 2), np.int32),
+        style="manual", manual={"1": [0], "2": [2, 1]},
+    )
+    assert ids == [0, 2, 1]
+
+
+def test_transforms_shapes(rng):
+    coords = rng.random((500, 3)).astype(np.float32) * 4
+    colors = rng.integers(0, 255, (500, 3)).astype(np.float32)
+    c2, col2 = T.default_train_transform(coords, colors, rng)
+    assert c2.shape == coords.shape and col2.shape == colors.shape
+    assert np.isfinite(c2).all()
+    assert col2.min() >= 0 and col2.max() <= 255
+
+
+def test_voxel_batch(rng):
+    scenes = []
+    for _ in range(3):
+        c = rng.random((400, 3)).astype(np.float32)
+        col = rng.integers(0, 255, (400, 3)).astype(np.float32)
+        lab = rng.integers(0, 20, 400).astype(np.int32)
+        scenes.append((c, col, lab))
+    vb = make_voxel_batch(scenes, capacity=2048, voxel_size=0.05)
+    n = int(vb.num)
+    assert n > 0
+    assert vb.valid[:n].all() and not vb.valid[n:].any()
+    assert (vb.coords[:n, 0] <= 2).all()
+    assert len(vb.point2voxel) == 3
+    # per-scene point->voxel maps are consistent
+    for b, p2v in enumerate(vb.point2voxel):
+        assert (vb.coords[p2v, 0] == b).all()
+
+
+def test_visualize_roundtrip(tmp_path, rng):
+    raw = make_raw_scene(rng)
+    mesh = str(tmp_path / "mesh.ply")
+    from seggroup_tpu.data.ply import write_ply
+
+    v = raw["vertices"]
+    write_ply(mesh, {
+        "x": v[:, 0], "y": v[:, 1], "z": v[:, 2],
+        "red": v[:, 3].astype(np.uint8), "green": v[:, 4].astype(np.uint8),
+        "blue": v[:, 5].astype(np.uint8),
+    }, raw["faces"])
+    out = str(tmp_path / "vis.ply")
+    visualize_labels(mesh, raw["real_sem"], out, "semantic")
+    back = read_ply(out)
+    assert len(back["vertex"]) == len(v)
+    cols = colorize_labels(raw["real_sem"], "semantic")
+    np.testing.assert_array_equal(back["vertex"]["red"], cols[:, 0])

@@ -42,16 +42,16 @@ def tpu_points_per_sec():
     ]
     jax.block_until_ready(scenes)
     model = SegGroupGNN(cluster_cap=1024)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        scenes[0], mode="ins_infer", train=False,
-    )
+    # jit the init: eager init dispatches hundreds of tiny remote ops through
+    # the axon tunnel (~minutes); one compiled program instead
+    variables = jax.jit(
+        lambda r1, r2, s: model.init(
+            {"params": r1, "dropout": r2}, s, mode="ins_infer", train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), scenes[0])
     fwd = jax.jit(lambda v, s: model.apply(v, s, mode="ins_infer", train=False))
     # warm up: through the axon tunnel block_until_ready can return before the
     # remote execution finishes; a scalar fetch is the only reliable sync
     out = fwd(variables, scenes[0])
-    _ = float(out.acc[0])
-    out = fwd(variables, scenes[1])
     _ = float(out.acc[0])
 
     t0 = time.time()

@@ -41,8 +41,12 @@ def scene_instance_tuple(scene, extras, pseudo_root, name):
                                       "final.sem.txt"), dtype=np.int64)
         ins = np.loadtxt(os.path.join(pseudo_root, name, "ins_infer",
                                       "final.ins.txt"), dtype=np.int64)
-        sem = sem[: len(coords)]
-        ins = ins[: len(coords)]
+        if "mapping" in extras:  # exported at original-vertex resolution
+            sem = sem[extras["mapping"]]
+            ins = ins[extras["mapping"]]
+        else:
+            sem = sem[: len(coords)]
+            ins = ins[: len(coords)]
         # drop wall/floor instances (reference prepare_data_inst2.py:63-64)
         ins = np.where((sem == 1) | (sem == 2), 0, np.maximum(ins, 0))
         sem = np.clip(sem, 0, 40)

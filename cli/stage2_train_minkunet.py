@@ -33,13 +33,16 @@ def scene_to_training_tuple(scene, extras, pseudo_root, name, use_pseudo):
     coords = pts[:, :3].astype(np.float32)
     colors = ((pts[:, 3:] + 1.0) * 127.5).astype(np.float32)
     if use_pseudo:
+        # exported pseudo labels align to ORIGINAL mesh vertices (reference
+        # layout, kpconv/datasets/Scannet2.py:148-156); pull them back onto
+        # the resampled points via the forward mapping
         path = os.path.join(pseudo_root, name, "sem_infer", "layer_2.sem.txt")
         sem = np.loadtxt(path, dtype=np.int64)
-        if "unmap" in extras:  # pseudo labels are at original resolution
-            # resampled point i maps to original vertex mapping[i]; exported
-            # labels align to original vertices, so invert via extras
-            sem = sem[: len(coords)] if len(sem) >= len(coords) else None
-        labels = NYU40_TO_20[np.clip(sem, 0, 40)] if sem is not None else None
+        if "mapping" in extras:
+            sem = sem[extras["mapping"]]
+        else:
+            sem = sem[: len(coords)]
+        labels = NYU40_TO_20[np.clip(sem, 0, 40)]
     else:
         sem = np.asarray(scene.real_sem)
         labels = NYU40_TO_20[np.clip(sem, 0, 40)]

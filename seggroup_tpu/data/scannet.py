@@ -339,6 +339,7 @@ def prepare_scene(
         real_ins=raw["real_ins"][mapping].astype(np.int32),
         # host-side extras
         unmap=unmap.astype(np.int32),
+        mapping=mapping.astype(np.int32),  # resampled -> original vertex
         real_sem_raw=raw["real_sem"].astype(np.int32),
         real_ins_raw=raw["real_ins"].astype(np.int32),
     )

@@ -20,6 +20,18 @@ from seggroup_tpu.data.synthetic import make_synthetic_scene
 from seggroup_tpu.types import Scene
 
 
+def dump_config(args, name: str):
+    """Persist run configuration for provenance/resume (the reference saves
+    config.json per run and re-reads it on --resume, minkowski/main.py:40-43;
+    kpconv round-trips parameters.txt, utils/config.py:176-313)."""
+    import json
+
+    d = os.path.join("checkpoints", args.exp_name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{name}.config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)
+
+
 def add_common_args(p):
     p.add_argument("--exp_name", type=str, default="exp")
     p.add_argument("--data_root", type=str, default="dataset/scannet/prepared")

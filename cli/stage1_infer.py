@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cli.stage1_common import SceneSource, add_common_args, batches, export_scene
+from cli.stage1_common import dump_config, SceneSource, add_common_args, batches, export_scene
 from seggroup_tpu.models.seggroup import SegGroupGNN
 from seggroup_tpu.parallel.dp import (
     build_stage1_infer_step, make_mesh, replicate, shard_batch,
@@ -38,6 +38,7 @@ def main():
     mode = "sem_infer" if args.sem_infer else "ins_infer"
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "infer.log"))
+    dump_config(args, "stage1_infer")
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     source = SceneSource(args)
@@ -45,10 +46,10 @@ def main():
     model = SegGroupGNN(cluster_cap=args.cluster_cap)
     scene0, _ = source.get(0)
     scene0 = jax.tree.map(jnp.asarray, scene0)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        scene0, mode="train", train=True,
-    )
+    variables = jax.jit(
+        lambda r1, r2, s: model.init({"params": r1, "dropout": r2}, s,
+                                     mode="train", train=True)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), scene0)
     params, stats = variables["params"], variables["batch_stats"]
     ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name, "models"))
     restored = ckpt.restore()  # untyped pytree; flax accepts plain dicts

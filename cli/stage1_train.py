@@ -15,7 +15,7 @@ import time
 import jax
 import numpy as np
 
-from cli.stage1_common import SceneSource, add_common_args, batches
+from cli.stage1_common import dump_config, SceneSource, add_common_args, batches
 from seggroup_tpu.models.seggroup import SegGroupGNN
 from seggroup_tpu.parallel.dp import (
     build_stage1_train_step, make_mesh, make_optimizer, replicate, shard_batch,
@@ -36,6 +36,7 @@ def main():
     args = p.parse_args()
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "run.log"))
+    dump_config(args, "stage1_train")
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     io.cprint(f"mesh: {n_dev} devices ({mesh.devices.ravel()[0].platform})")
@@ -47,11 +48,11 @@ def main():
     scene0, _ = source.get(0)
     import jax.numpy as jnp
     scene0 = jax.tree.map(jnp.asarray, scene0)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(args.seed),
-         "dropout": jax.random.PRNGKey(args.seed + 1)},
-        scene0, mode="train", train=True,
-    )
+    # jitted init: eager init is minutes through the axon remote tunnel
+    variables = jax.jit(
+        lambda r1, r2, s: model.init({"params": r1, "dropout": r2}, s,
+                                     mode="train", train=True)
+    )(jax.random.PRNGKey(args.seed), jax.random.PRNGKey(args.seed + 1), scene0)
     params, stats = variables["params"], variables["batch_stats"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     io.cprint(f"Network parameters: {n_params}")

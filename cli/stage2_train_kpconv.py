@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from cli.stage1_common import SceneSource, add_common_args
+from cli.stage1_common import dump_config, SceneSource, add_common_args
 from cli.stage2_train_minkunet import NYU40_TO_20, scene_to_training_tuple
 from seggroup_tpu.utils.logging import IOStream
 
@@ -47,6 +47,7 @@ def main():
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "kpconv.log"))
+    dump_config(args, "stage2_kpconv")
     source = SceneSource(args)
     io.cprint(f"scenes: {len(source)}")
     rng = np.random.default_rng(args.seed)

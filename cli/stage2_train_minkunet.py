@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from cli.stage1_common import SceneSource, add_common_args
+from cli.stage1_common import dump_config, SceneSource, add_common_args
 from seggroup_tpu.utils.logging import IOStream
 
 # scannet 20-class training ids from nyu40 (reference minkowski
@@ -79,6 +79,7 @@ def main():
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "minkunet.log"))
+    dump_config(args, "stage2_minkunet")
     source = SceneSource(args)
     io.cprint(f"scenes: {len(source)}  model: {args.model}")
     rng = np.random.default_rng(args.seed)

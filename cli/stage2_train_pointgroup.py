@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from cli.stage1_common import SceneSource, add_common_args
+from cli.stage1_common import dump_config, SceneSource, add_common_args
 from cli.stage2_pointgroup_common import make_pg_batch, scene_instance_tuple
 from seggroup_tpu.utils.logging import IOStream
 
@@ -48,6 +48,7 @@ def main():
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "pointgroup.log"))
+    dump_config(args, "stage2_pointgroup")
     source = SceneSource(args)
     io.cprint(f"scenes: {len(source)}")
     rng = np.random.default_rng(args.seed)

@@ -60,6 +60,7 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
+        x = x.astype(jnp.float32)  # stats and normalization in f32
         if train:
             m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)).astype(x.dtype)
             cnt = jnp.maximum(jnp.sum(m), 1.0)
@@ -114,7 +115,11 @@ class MLP1(nn.Module):
 class EdgeConvBlock(nn.Module):
     """Shared body of MLP2/MLP3 (reference model.py:106-138): per-point edge
     conv over a precomputed kNN graph. Input (N, 9), idx (N, k); feature is
-    concat(f_nbr - f_self, f_self) -> 18 dims; 1..2 conv layers; max over k."""
+    concat(f_nbr - f_self, f_self) -> 18 dims; 1..2 conv layers; max over k.
+
+    The (N, k, C) intermediates ride in bfloat16 (gathers and elementwise
+    traffic are the cost here — see docs/ARCHITECTURE.md perf notes); matmul
+    accumulation and BN statistics stay f32."""
 
     layers: int = 1
 
@@ -123,18 +128,19 @@ class EdgeConvBlock(nn.Module):
         self, x: jax.Array, idx: jax.Array, point_valid: jax.Array, train: bool
     ) -> jax.Array:
         n, k = idx.shape
-        nbr = x[idx]  # (N, k, 9)
-        self_f = jnp.broadcast_to(x[:, None, :], nbr.shape)
+        xb = x.astype(jnp.bfloat16)
+        nbr = xb[idx]  # (N, k, 9) bf16
+        self_f = jnp.broadcast_to(xb[:, None, :], nbr.shape)
         feat = jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (N, k, 18)
         mask = jnp.broadcast_to(point_valid[:, None], (n, k))
-        h = nn.Dense(64, use_bias=False, name="conv1")(feat)
+        h = nn.Dense(64, use_bias=False, dtype=jnp.bfloat16, name="conv1")(feat)
         h = MaskedBatchNorm(name="bn1")(h, mask, train)
-        h = _leaky(h)
+        h = _leaky(h).astype(jnp.bfloat16)
         if self.layers == 2:
-            h = nn.Dense(64, use_bias=False, name="conv2")(h)
+            h = nn.Dense(64, use_bias=False, dtype=jnp.bfloat16, name="conv2")(h)
             h = MaskedBatchNorm(name="bn2")(h, mask, train)
-            h = _leaky(h)
-        h = jnp.max(h, axis=1)  # over k -> (N, 64)
+            h = _leaky(h).astype(jnp.bfloat16)
+        h = jnp.max(h, axis=1).astype(jnp.float32)  # over k -> (N, 64)
         return jnp.where(point_valid[:, None], h, 0.0)
 
 
@@ -266,6 +272,8 @@ class SegGroupGNN(nn.Module):
     th_semantic: float = 2.0
     gcn_alpha: float = 0.125
     knn_k: int = 20
+    knn_window: int = 8192  # sorted-candidate budget; clusters larger than
+    # this get window-truncated (approximate) kNN — see ops.knn.cluster_knn
     mlp1_points: int = 64
     cluster_cap: int = 1024
     max_instances: int = 128
@@ -380,7 +388,7 @@ class SegGroupGNN(nn.Module):
         s = g.num_slots
         knn_idx = cluster_knn(
             pts[:, :3], jnp.where(pt_valid, roots, jnp.int32(0x3FFFFFFF)),
-            k=self.knn_k,
+            k=self.knn_k, window=self.knn_window,
         )
         center = segment_mean(pts[:, :3], roots, s)  # (S, 3)
         centered = pts[:, :3] - center[jnp.minimum(roots, s - 1)]

@@ -58,18 +58,25 @@ def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3) -> jax.Array:
 
 
 def subm_conv(
-    st: SparseTensor, weights: jax.Array, rulebook: jax.Array
+    st: SparseTensor, weights: jax.Array, rulebook: jax.Array,
+    compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """weights (K, Cin, Cout); returns (M, Cout). out[i] = sum_k
-    W[k]^T feats[nbr[i,k]] over present neighbors."""
-    feats = jnp.where(st.valid[:, None], st.feats, 0.0)
+    """weights (K, Cin, Cout); returns (M, Cout) float32. out[i] = sum_k
+    W[k]^T feats[nbr[i,k]] over present neighbors.
+
+    The gathered (M, K, Cin) block rides in `compute_dtype` (bf16 by default
+    — gathers are byte-bound on TPU and bf16 is MXU-native); accumulation is
+    always f32 via preferred_element_type."""
+    feats = jnp.where(st.valid[:, None], st.feats, 0.0).astype(compute_dtype)
     # pad row M with zeros so absent neighbors contribute nothing
-    feats_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], axis=0)
+    feats_pad = jnp.concatenate(
+        [feats, jnp.zeros((1, feats.shape[1]), compute_dtype)], axis=0
+    )
     # ONE gather + ONE contraction: (M, K, Cin) x (K, Cin, Cout) lowers to a
     # single (M, K*Cin) @ (K*Cin, Cout) MXU matmul — 27x fewer HLO ops than
     # per-offset gathers (compile time) and full MXU utilization (runtime)
     g = feats_pad[rulebook]  # (M, K, Cin)
-    out = jnp.einsum("mkc,kco->mo", g, weights,
+    out = jnp.einsum("mkc,kco->mo", g, weights.astype(compute_dtype),
                      preferred_element_type=jnp.float32)
     return jnp.where(st.valid[:, None], out, 0.0)
 

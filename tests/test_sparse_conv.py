@@ -40,7 +40,7 @@ def test_subm_rulebook_and_conv(rng):
     rb = np.asarray(build_subm_rulebook(st, k))
     offs = kernel_offsets(k)
     cmap = {tuple(c): i for i, c in enumerate(coords)}
-    out = np.asarray(subm_conv(st, jnp.array(w), jnp.array(rb)))
+    out = np.asarray(subm_conv(st, jnp.array(w), jnp.array(rb), compute_dtype=jnp.float32))
 
     for i in range(n):
         want = np.zeros(cout, np.float32)
@@ -116,10 +116,19 @@ def test_subm_conv_grad(rng):
     rb = build_subm_rulebook(st, k)
 
     def loss(w, f):
-        out = subm_conv(st.with_feats(f), w, rb)
+        out = subm_conv(st.with_feats(f), w, rb, compute_dtype=jnp.float32)
         return jnp.sum(out ** 2)
 
     gw, gf = jax.grad(loss, argnums=(0, 1))(w, st.feats)
     assert np.isfinite(np.asarray(gw)).all()
     assert np.isfinite(np.asarray(gf)).all()
     assert float(jnp.abs(gw).sum()) > 0
+
+
+def test_subm_conv_bf16_close_to_f32(rng):
+    st, coords, feats = make_sparse(rng, n=60, m_cap=128)
+    w = jnp.array(rng.normal(size=(27, 8, 4)).astype(np.float32) * 0.1)
+    rb = build_subm_rulebook(st, 3)
+    full = np.asarray(subm_conv(st, w, rb, compute_dtype=jnp.float32))
+    half = np.asarray(subm_conv(st, w, rb))  # bf16 default
+    np.testing.assert_allclose(half, full, rtol=3e-2, atol=3e-2)

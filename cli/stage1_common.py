@@ -32,6 +32,13 @@ def dump_config(args, name: str):
         json.dump(vars(args), f, indent=2, default=str)
 
 
+def should_stop(exp_name: str) -> bool:
+    """Graceful-stop kill-file (the reference stops kpconv training by
+    deleting running_PID.txt, utils/trainer.py:217-220; here: CREATE a STOP
+    file under checkpoints/<exp>/ to request a clean exit + final save)."""
+    return os.path.exists(os.path.join("checkpoints", exp_name, "STOP"))
+
+
 def add_common_args(p):
     p.add_argument("--exp_name", type=str, default="exp")
     p.add_argument("--data_root", type=str, default="dataset/scannet/prepared")
@@ -91,7 +98,10 @@ def batches(source: SceneSource, batch: int, order: np.ndarray):
 
 def export_labels_txt(out_dir: str, stem: str, labels: np.ndarray):
     os.makedirs(out_dir, exist_ok=True)
-    np.savetxt(os.path.join(out_dir, stem + ".txt"), labels, fmt="%d")
+    # ~10x faster than np.savetxt for 150k-line files
+    body = "\n".join(map(str, np.asarray(labels, np.int64).tolist()))
+    with open(os.path.join(out_dir, stem + ".txt"), "w") as f:
+        f.write(body + "\n")
 
 
 def export_scene(results_root: str, scene_name: str, stage: str,

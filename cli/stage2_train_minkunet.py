@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from cli.stage1_common import dump_config, SceneSource, add_common_args
+from cli.stage1_common import should_stop, dump_config, SceneSource, add_common_args
 from seggroup_tpu.utils.logging import IOStream
 
 # scannet 20-class training ids from nyu40 (reference minkowski
@@ -153,6 +153,11 @@ def main():
                 "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"
                 % (it, args.max_iter, float(loss), 100 * miou,
                    schedule(it), (time.time() - t0) / it))
+        if should_stop(args.exp_name) and it % args.val_freq:
+            io.cprint('STOP file found — saving and exiting')
+            ckpt.save(it, {"params": jax.device_get(params),
+                           "batch_stats": jax.device_get(stats)})
+            break
         if it % args.val_freq == 0 or it == args.max_iter:
             ckpt.save(it, {"params": jax.device_get(params),
                            "batch_stats": jax.device_get(stats)})

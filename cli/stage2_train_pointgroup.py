@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from cli.stage1_common import dump_config, SceneSource, add_common_args
+from cli.stage1_common import should_stop, dump_config, SceneSource, add_common_args
 from cli.stage2_pointgroup_common import make_pg_batch, scene_instance_tuple
 from seggroup_tpu.utils.logging import IOStream
 
@@ -142,6 +142,11 @@ def main():
             io.cprint("step %d/%d  loss %.4f  %s  (%.2fs/it)"
                       % (it, args.steps, float(loss), parts,
                          (time.time() - t0) / it))
+        if should_stop(args.exp_name):
+            io.cprint('STOP file found — saving and exiting')
+            ckpt.save(it, {"params": jax.device_get(params),
+                           "batch_stats": jax.device_get(stats)})
+            break
         if it % args.save_freq == 0 or it == args.steps:
             ckpt.save(it, {"params": jax.device_get(params),
                            "batch_stats": jax.device_get(stats)})

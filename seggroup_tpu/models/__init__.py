@@ -29,10 +29,17 @@ def _register_lazy():
     from seggroup_tpu.models.minkunet import VARIANTS, make_minkunet
     from seggroup_tpu.models.pointgroup import PointGroup
 
+    from seggroup_tpu.models.resnet_sparse import (
+        KPCNN, RESNET_VARIANTS, make_sparse_resnet,
+    )
+
     register("pointgroup")(PointGroup)
     register("kpfcnn")(KPFCNN)
+    register("kpcnn")(KPCNN)
     for name in VARIANTS:
         _REGISTRY[name] = (lambda v: lambda **kw: make_minkunet(v, **kw))(name)
+    for name in RESNET_VARIANTS:
+        _REGISTRY[name] = (lambda v: lambda **kw: make_sparse_resnet(v, **kw))(name)
 
 
 _register_lazy()

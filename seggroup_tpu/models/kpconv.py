@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from seggroup_tpu.ops.knn import ball_query_pair
-from seggroup_tpu.ops.segment_ops import segment_max, segment_mean
+from seggroup_tpu.ops.segment_ops import segment_mean
 
 # ---------------------------------------------------------------------------
 # kernel point dispositions

@@ -14,7 +14,7 @@ Res16UNet34C PLANES (32,64,128,256,256,128,96,96), LAYERS (2,3,4,6,2,2,2,2)
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -34,13 +34,12 @@ import jax.numpy as jnp
 from seggroup_tpu.ops.cc import compact_labels, semantic_connected_components
 from seggroup_tpu.ops.iou import proposal_instance_iou
 from seggroup_tpu.ops.knn import ball_query
-from seggroup_tpu.ops.segment_ops import segment_max, segment_mean, segment_min, segment_sum
+from seggroup_tpu.ops.segment_ops import segment_max, segment_mean, segment_min
 from seggroup_tpu.ops.voxelize import voxelize
 from seggroup_tpu.sparse.conv import (
     build_subm_rulebook,
     inverse_conv_up,
     strided_conv_down,
-    subm_conv,
 )
 from seggroup_tpu.sparse.tensor import SparseTensor
 from seggroup_tpu.models.minkunet import SparseBatchNorm, SubMConv

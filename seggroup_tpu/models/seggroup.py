@@ -21,7 +21,7 @@ means unannotated (model.py:559,587).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,6 @@ surviving label is `-l1*l2`, which resolves to the non-(-1) operand.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -219,7 +218,7 @@ def aggregate_cluster_feature(
 
 
 def _constrained_merge_rounds(
-    g: SegGraph, edges: jax.Array, eligible_fn, max_attach_rounds: int = 0
+    g: SegGraph, edges: jax.Array, eligible_fn
 ) -> SegGraph:
     """Parallel label-constrained union of edges selected by `eligible_fn`.
 
@@ -426,7 +425,6 @@ def group_unlabeled_clusters(
     edge_valid: jax.Array,
     points: jax.Array,
     point2seg: jax.Array,
-    max_rounds: int = 16,
 ) -> tuple[SegGraph, jax.Array, jax.Array, jax.Array]:
     """Absorb unlabeled clusters (reference group_unlabeled_clusters,
     model.py:439-509): iteratively merge each unlabeled cluster into its

@@ -11,7 +11,6 @@ the same mesh over DCN via jax.distributed (no code change here).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

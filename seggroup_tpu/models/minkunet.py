@@ -153,9 +153,12 @@ class MinkUNet(nn.Module):
         h = SparseBatchNorm(bm, name="bn0")(h, st.valid, train)
         out_p1 = st.with_feats(nn.relu(h))
 
-        # encoder
+        # encoder (rulebooks per pyramid level are saved and REUSED by the
+        # decoder: the inverse conv restores exactly the encoder's sites, so
+        # the decoder-level rulebook is identical — 5 builds instead of 9)
         skips = []
         keys = []
+        rbs = [rb0]
         cur = out_p1
         for lvl in range(4):
             st_dn, key = down(cur, cur.channels, f"conv{lvl+1}s2")
@@ -163,6 +166,7 @@ class MinkUNet(nn.Module):
             h = SparseBatchNorm(bm, name=f"bn{lvl+1}")(st_dn.feats, st_dn.valid, train)
             st_dn = st_dn.with_feats(nn.relu(h))
             rb = build_subm_rulebook(st_dn, 3)
+            rbs.append(rb)
             st_b = blocks(st_dn, self.layers[lvl], p[lvl], rb, f"block{lvl+1}", train)
             skips.append(st_b)
             cur = st_b
@@ -176,7 +180,7 @@ class MinkUNet(nn.Module):
             st_up = st_up.with_feats(nn.relu(h))
             cat = jnp.concatenate([st_up.feats, skip.feats], axis=-1)
             st_cat = st_up.with_feats(cat)
-            rb = build_subm_rulebook(st_cat, 3)
+            rb = rbs[3 - lvl]
             cur = blocks(st_cat, self.layers[4 + lvl], p[4 + lvl], rb,
                          f"block{lvl+5}", train)
 

@@ -8,9 +8,17 @@ and MinkowskiEngine's generalized sparse conv (reference minkowski models).
 Design (TPU-first):
   * rulebooks are built on device from lexsorted coordinate keys
     (sparse/hashing.py) — a (M, K) neighbor-index table per kernel instead of
-    spconv's host-built CSR pair lists;
-  * the conv itself is K gathers + K dense (M, Cin) x (Cin, Cout) matmuls —
-    each one lands on the MXU; padding rows are masked, XLA fuses the adds;
+    spconv's host-built CSR pair lists. For the static training path the
+    rulebooks can instead be built ON HOST in C++ (seggroup_tpu/native.py
+    subm_rulebook) and fed as step inputs — see sparse/plan.py;
+  * the conv itself is ONE gather + ONE dense (M, K*Cin) x (K*Cin, Cout)
+    matmul — it lands on the MXU; padding rows are masked;
+  * subm_conv carries a custom VJP: because the kernel-offset set is
+    symmetric (off[K-1-k] == -off[k] for odd kernels), the data gradient is
+    *the same conv* with flipped+transposed weights and the SAME rulebook —
+    no (M, K, C) residuals are stored and the backward pass needs no scatter.
+    This is what makes batch-8 / 2cm / 2^17-voxel training fit in one v5e
+    chip's HBM (without it, autodiff keeps every gathered block: ~18 GB);
   * stride-2 kernel-2 down/up convs exploit the fact that kernel 2 / stride 2
     PARTITIONS fine voxels: down is a segment-sum over out = in//2, up is a
     single gather (the transpose), matching spconv's indice_key reuse
@@ -40,7 +48,98 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
 
 def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3) -> jax.Array:
     """(M, K) neighbor row index per kernel offset; == M where absent.
-    Output sites == input sites (submanifold semantics)."""
+    Output sites == input sites (submanifold semantics).
+
+    Grouped z-run search: keys are lexsorted by (batch,x,y,z), so the three
+    dz in {-1,0,+1} neighbors of a query (dx,dy) column are CONSECUTIVE in
+    sorted order — one binary search per (dx,dy) group (8 searches for k=3
+    instead of 27) plus three candidate-position probes resolves all of them.
+    The center group needs no search at all (self rank +- 1).
+    """
+    if kernel_size == 3:
+        return _build_subm_rulebook_k3(st)
+    return _build_subm_rulebook_generic(st, kernel_size)
+
+
+def _lower_bound(hi_sorted, lo_sorted, q_hi, q_lo):
+    """First sorted position with key >= (q_hi, q_lo); in [0, m]."""
+    m = hi_sorted.shape[0]
+    steps = max(1, m.bit_length())
+    lo_b = jnp.zeros(q_hi.shape, jnp.int32)
+    hi_b = jnp.full(q_hi.shape, m, jnp.int32)
+
+    def body(_, carry):
+        lo_bound, hi_bound = carry
+        mid = (lo_bound + hi_bound) // 2
+        mh = hi_sorted[jnp.minimum(mid, m - 1)]
+        ml = lo_sorted[jnp.minimum(mid, m - 1)]
+        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        lo_bound = jnp.where(less, mid + 1, lo_bound)
+        hi_bound = jnp.where(less, hi_bound, mid)
+        return lo_bound, hi_bound
+
+    lo_b, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+    return lo_b
+
+
+def _build_subm_rulebook_k3(st: SparseTensor) -> jax.Array:
+    m = st.capacity
+    order, hi_s, lo_s = sort_coords(st.coords, st.valid)
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32))
+    hi, lo = pack_keys(st.coords)
+    order_pad = jnp.concatenate([order, jnp.full((1,), m, jnp.int32)])
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    hi_pad = jnp.concatenate([hi_s, jnp.full((1,), big, jnp.int32)])
+    lo_pad = jnp.concatenate([lo_s, jnp.full((1,), big, jnp.int32)])
+
+    def resolve(p0, q_hi):
+        """Given p0 = lower_bound(q_hi, lo-1), match dz in {-1,0,+1}.
+        Valid keys are strictly increasing, so the (up to) three hits sit at
+        consecutive positions starting at p0. Returns (3, M) row indices."""
+        cols = []
+        cand = [jnp.clip(p0 + t, 0, m) for t in range(3)]
+        ch = [hi_pad[c] for c in cand]
+        cl = [lo_pad[c] for c in cand]
+        for dz in (-1, 0, 1):
+            tgt = lo + dz
+            row = jnp.full(q_hi.shape, m, jnp.int32)
+            for t in range(3):
+                hit = (ch[t] == q_hi) & (cl[t] == tgt)
+                row = jnp.where((row == m) & hit, order_pad[cand[t]], row)
+            ok = st.valid & (st.coords[:, 3] + dz >= 0)
+            cols.append(jnp.where(ok, row, m))
+        return cols
+
+    cols_by_offset = {}
+    # center (dx,dy) group: positions are self rank -1 / self / +1 — no search
+    p0c = rank - 1
+    c = resolve(p0c, hi)
+    for t, dz in enumerate((-1, 0, 1)):
+        cols_by_offset[(0, 0, dz)] = c[t]
+    # the 8 off-center (dx,dy) groups, one lower_bound each
+    dxy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+           if (dx, dy) != (0, 0)]
+
+    def per_group(shift):
+        dx, dy = shift[0], shift[1]
+        q_hi = hi + (dx << 14) + dy
+        p0 = _lower_bound(hi_s, lo_s, q_hi, lo - 1)
+        rows = resolve(p0, q_hi)  # list of 3 (M,)
+        ok_xy = (st.coords[:, 1] + dx >= 0) & (st.coords[:, 2] + dy >= 0)
+        return jnp.stack([jnp.where(ok_xy, r, m) for r in rows])
+
+    grouped = jax.vmap(per_group)(jnp.asarray(dxy, jnp.int32))  # (8, 3, M)
+    for gi, (dx, dy) in enumerate(dxy):
+        for t, dz in enumerate((-1, 0, 1)):
+            cols_by_offset[(dx, dy, dz)] = grouped[gi, t]
+
+    offs = kernel_offsets(3)
+    nbr = jnp.stack([cols_by_offset[tuple(o)] for o in offs])  # (27, M)
+    return nbr.T.astype(jnp.int32)
+
+
+def _build_subm_rulebook_generic(st: SparseTensor, kernel_size: int) -> jax.Array:
     offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3)
     order, hi_s, lo_s = sort_coords(st.coords, st.valid)
     m = st.capacity
@@ -54,7 +153,52 @@ def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3) -> jax.Array:
         return jnp.where(st.valid & in_range, idx, m)
 
     nbr = jax.vmap(per_offset)(offs)  # (K, M)
-    return nbr.T.astype(jnp.int32)  # (M, K)
+    return nbr.T.astype(jnp.int32)
+
+
+# --- submanifold conv with symmetric-transpose custom VJP -------------------
+
+
+def _subm_apply(feats, weights, rulebook, compute_dtype):
+    """out[i] = sum_k W[k]^T feats[nbr[i,k]]; feats already masked/padded-safe
+    (absent neighbors index the zero pad row M)."""
+    feats_pad = jnp.concatenate(
+        [feats.astype(compute_dtype),
+         jnp.zeros((1, feats.shape[1]), compute_dtype)], axis=0)
+    g = feats_pad[rulebook]  # (M, K, Cin)
+    return jnp.einsum("mkc,kco->mo", g, weights.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _subm_conv_core(feats, weights, rulebook, compute_dtype):
+    return _subm_apply(feats, weights, rulebook, compute_dtype)
+
+
+def _subm_fwd(feats, weights, rulebook, compute_dtype):
+    return _subm_apply(feats, weights, rulebook, compute_dtype), (
+        feats, weights, rulebook)
+
+
+def _subm_bwd(compute_dtype, res, dout):
+    feats, weights, rulebook = res
+    k = weights.shape[0]
+    # data grad: nbr[i,k]=j  <=>  nbr[j,K-1-k]=i (offset set is symmetric for
+    # odd kernels), so dfeats = subm_conv(dout, W[::-1] transposed, SAME
+    # rulebook) — a gather, not a scatter.
+    w_flip = jnp.flip(weights, axis=0).transpose(0, 2, 1)  # (K, Cout, Cin)
+    dfeats = _subm_apply(dout, w_flip, rulebook, compute_dtype)
+    # weight grad: recompute the gather (rematerialised, never stored)
+    feats_pad = jnp.concatenate(
+        [feats.astype(compute_dtype),
+         jnp.zeros((1, feats.shape[1]), compute_dtype)], axis=0)
+    g = feats_pad[rulebook]  # (M, K, Cin)
+    dw = jnp.einsum("mkc,mo->kco", g, dout.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    return dfeats.astype(feats.dtype), dw.astype(weights.dtype), None
+
+
+_subm_conv_core.defvjp(_subm_fwd, _subm_bwd)
 
 
 def subm_conv(
@@ -66,18 +210,12 @@ def subm_conv(
 
     The gathered (M, K, Cin) block rides in `compute_dtype` (bf16 by default
     — gathers are byte-bound on TPU and bf16 is MXU-native); accumulation is
-    always f32 via preferred_element_type."""
-    feats = jnp.where(st.valid[:, None], st.feats, 0.0).astype(compute_dtype)
-    # pad row M with zeros so absent neighbors contribute nothing
-    feats_pad = jnp.concatenate(
-        [feats, jnp.zeros((1, feats.shape[1]), compute_dtype)], axis=0
-    )
-    # ONE gather + ONE contraction: (M, K, Cin) x (K, Cin, Cout) lowers to a
-    # single (M, K*Cin) @ (K*Cin, Cout) MXU matmul — 27x fewer HLO ops than
-    # per-offset gathers (compile time) and full MXU utilization (runtime)
-    g = feats_pad[rulebook]  # (M, K, Cin)
-    out = jnp.einsum("mkc,kco->mo", g, weights.astype(compute_dtype),
-                     preferred_element_type=jnp.float32)
+    always f32 via preferred_element_type. Gradients flow through a custom
+    VJP that stores only (feats, weights, rulebook) — see module docstring."""
+    assert weights.shape[0] % 2 == 1 or round(weights.shape[0] ** (1 / 3)) % 2 == 1, (
+        "subm_conv custom VJP requires an odd (symmetric) kernel")
+    feats = jnp.where(st.valid[:, None], st.feats, 0.0)
+    out = _subm_conv_core(feats, weights, rulebook, compute_dtype)
     return jnp.where(st.valid[:, None], out, 0.0)
 
 
@@ -116,24 +254,25 @@ def downsample_coords(st: SparseTensor, cap_out: int):
 
 
 def strided_conv_down(
-    st: SparseTensor, weights: jax.Array, cap_out: int
+    st: SparseTensor, weights: jax.Array, cap_out: int,
+    compute_dtype=jnp.float32,
 ) -> tuple[SparseTensor, dict]:
     """Kernel-2 stride-2 sparse conv (spconv SparseConv3d(k=2,s=2) /
     MinkowskiConvolution(k=2,s=2)). weights (8, Cin, Cout). Also returns the
-    `indice_key` dict needed by the matching inverse conv."""
+    `indice_key` dict needed by the matching inverse conv.
+
+    contrib[i] = feats[i] @ W[delta_i] via an (M,8,Cout) batched matmul +
+    one-hot select, then ONE segment-sum scatter (scatters are the expensive
+    op on TPU; the 8x matmul FLOPs are noise next to the UNet blocks)."""
     coords_out, valid_out, num_out, out_row, delta = downsample_coords(
         st, cap_out
     )
-    feats = jnp.where(st.valid[:, None], st.feats, 0.0)
-    cout = weights.shape[2]
-    out = jnp.zeros((cap_out, cout), jnp.float32)
-    for kk in range(8):
-        sel = (delta == kk) & st.valid
-        contrib = jnp.dot(
-            jnp.where(sel[:, None], feats, 0.0), weights[kk],
-            preferred_element_type=jnp.float32,
-        )
-        out = out + segment_sum(contrib, jnp.where(sel, out_row, -1), cap_out)
+    feats = jnp.where(st.valid[:, None], st.feats, 0.0).astype(compute_dtype)
+    all_out = jnp.einsum("mc,kco->mko", feats, weights.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)  # (M, 8, Cout)
+    oh = jax.nn.one_hot(delta, 8, dtype=jnp.float32)
+    contrib = jnp.einsum("mko,mk->mo", all_out, oh)
+    out = segment_sum(contrib, jnp.where(st.valid, out_row, -1), cap_out)
     st_out = SparseTensor(coords_out, out, valid_out, num_out)
     key = {"out_row": out_row, "delta": delta, "fine_coords": st.coords,
            "fine_valid": st.valid, "fine_num": st.num}
@@ -141,21 +280,30 @@ def strided_conv_down(
 
 
 def inverse_conv_up(
-    st_coarse: SparseTensor, weights: jax.Array, indice_key: dict
+    st_coarse: SparseTensor, weights: jax.Array, indice_key: dict,
+    compute_dtype=jnp.float32,
 ) -> SparseTensor:
     """Kernel-2 stride-2 inverse/transposed conv back to the saved fine sites
     (spconv SparseInverseConv3d / MinkowskiConvolutionTranspose(k=2,s=2)).
-    weights (8, Cin, Cout). Each fine voxel reads exactly one coarse voxel."""
+    weights (8, Cin, Cout). Each fine voxel reads exactly one coarse voxel.
+
+    Implemented as 8 masked (Mf,Cin)x(Cin,Cout) matmuls — NOT a per-row
+    weights[delta] gather, which materialises an (Mf,Cin,Cout) tensor (6 GB
+    at 2^17 x 96 x 96) and OOMs the backward pass."""
     out_row = indice_key["out_row"]  # (Mf,) coarse row per fine voxel
     delta = indice_key["delta"]
     fine_valid = indice_key["fine_valid"]
     cap_c = st_coarse.capacity
     feats = jnp.where(st_coarse.valid[:, None], st_coarse.feats, 0.0)
     feats_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))])
-    g = feats_pad[jnp.minimum(out_row, cap_c)]  # (Mf, Cin)
-    # per-delta weight apply: out[j] = W[delta_j]^T g[j]
-    w_per = weights[delta]  # (Mf, Cin, Cout)
-    out = jnp.einsum("mi,mio->mo", g, w_per, preferred_element_type=jnp.float32)
+    g = feats_pad[jnp.minimum(out_row, cap_c)].astype(compute_dtype)  # (Mf, Cin)
+    w = weights.astype(compute_dtype)
+    out = jnp.zeros((g.shape[0], weights.shape[2]), jnp.float32)
+    for kk in range(8):
+        sel = (delta == kk)
+        term = jnp.dot(jnp.where(sel[:, None], g, 0), w[kk],
+                       preferred_element_type=jnp.float32)
+        out = out + term
     out = jnp.where((fine_valid & (out_row < cap_c))[:, None], out, 0.0)
     return SparseTensor(
         indice_key["fine_coords"], out, fine_valid, indice_key["fine_num"]

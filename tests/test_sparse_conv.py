@@ -125,6 +125,48 @@ def test_subm_conv_grad(rng):
     assert float(jnp.abs(gw).sum()) > 0
 
 
+def test_subm_conv_custom_vjp_matches_autodiff(rng):
+    """The symmetric-transpose backward (custom VJP) must equal the gradient
+    of a plain gather+einsum implementation."""
+    import jax
+
+    from seggroup_tpu.sparse.conv import _subm_apply
+
+    st, coords, feats = make_sparse(rng, n=70, m_cap=128)
+    k = 3
+    w = jnp.array(rng.normal(size=(k ** 3, 8, 4)).astype(np.float32) * 0.1)
+    rb = build_subm_rulebook(st, k)
+    dout = jnp.array(rng.normal(size=(128, 4)).astype(np.float32))
+
+    def loss_custom(w, f):
+        out = subm_conv(st.with_feats(f), w, rb, compute_dtype=jnp.float32)
+        return jnp.sum(out * dout)
+
+    def loss_ref(w, f):
+        f = jnp.where(st.valid[:, None], f, 0.0)
+        out = _subm_apply(f, w, rb, jnp.float32)
+        out = jnp.where(st.valid[:, None], out, 0.0)
+        return jnp.sum(out * dout)
+
+    gw1, gf1 = jax.grad(loss_custom, argnums=(0, 1))(w, st.feats)
+    gw2, gf2 = jax.grad(loss_ref, argnums=(0, 1))(w, st.feats)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_grouped_rulebook_matches_generic(rng):
+    """k=3 grouped z-run builder == generic 27-search builder."""
+    from seggroup_tpu.sparse.conv import _build_subm_rulebook_generic
+
+    for n in (1, 37, 100):
+        st, _, _ = make_sparse(rng, n=n, m_cap=128, grid=6)
+        fast = np.asarray(build_subm_rulebook(st, 3))
+        slow = np.asarray(_build_subm_rulebook_generic(st, 3))
+        np.testing.assert_array_equal(fast, slow)
+
+
 def test_subm_conv_bf16_close_to_f32(rng):
     st, coords, feats = make_sparse(rng, n=60, m_cap=128)
     w = jnp.array(rng.normal(size=(27, 8, 4)).astype(np.float32) * 0.1)

@@ -82,12 +82,17 @@ def main():
                     io.cprint("WARNING: random weights")
             logits = np.asarray(fwd(variables, st))
             vox_pred = logits.argmax(1)
-            # voxel -> point (full-pointcloud eval)
-            pred_pts = vox_pred[vb.point2voxel[0]]
-            lab_pts = lab[: len(pred_pts)]
-            ok = lab_pts != 255
+            # voxel -> point (full-pointcloud eval); p2v == -1 marks points
+            # whose voxel overflowed capacity — excluded, not mis-scored
+            p2v = vb.point2voxel[0]
+            lab_pts = lab[: len(p2v)]
+            ok = (lab_pts != 255) & (p2v >= 0)
+            dropped = int((p2v < 0).sum())
+            pred_pts = vox_pred[np.where(p2v >= 0, p2v, 0)]
             np.add.at(hist, (lab_pts[ok], pred_pts[ok]), 1)
-            io.cprint(f"[{i+1}/{len(source)}] {source.names[i]}")
+            io.cprint(f"[{i+1}/{len(source)}] {source.names[i]}"
+                      + (f"  ({dropped} pts over capacity excluded)"
+                         if dropped else ""))
     else:
         from seggroup_tpu.models.kpconv import KPFCNN, build_pyramid
 

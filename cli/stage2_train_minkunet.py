@@ -1,7 +1,11 @@
 """Stage-2 semantic segmentation training: MinkowskiNet Res16UNet on pseudo
 labels (CLI parity with reference minkowski/main.py + lib/train.py:29-176):
 iteration-based loop, SGD+PolyLR, CE with ignore label, periodic validation
-with best-checkpoint tracking.
+with best-checkpoint tracking (reference lib/train.py:100-155).
+
+TPU pipeline: host threads build voxel batches AND the C++ sparse-conv
+pyramid plans (sparse/plan.py) ahead of the device; the jitted train step is
+pure gather-GEMM compute.
 
     python -m cli.stage2_train_minkunet --synthetic 16 --max_iter 100
     python -m cli.stage2_train_minkunet --data_root dataset/scannet/prepared \
@@ -64,7 +68,11 @@ def main():
     p.add_argument("--scheduler", type=str, default="PolyLR")
     p.add_argument("--max_iter", type=int, default=60000)
     p.add_argument("--val_freq", type=int, default=1000)
+    p.add_argument("--val_frac", type=float, default=0.1,
+                   help="fraction of scenes held out for validation "
+                        "(reference trains on train/ and validates on val/)")
     p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--prefetch_workers", type=int, default=2)
     args = p.parse_args()
 
     import jax
@@ -75,38 +83,54 @@ def main():
     from seggroup_tpu.eval.semantic import confusion_matrix, miou_from_confusion
     from seggroup_tpu.models.minkunet import make_minkunet
     from seggroup_tpu.solvers import make_optimizer, make_schedule
+    from seggroup_tpu.sparse.plan import build_unet_plan
     from seggroup_tpu.sparse.tensor import SparseTensor
     from seggroup_tpu.utils.checkpoint import CheckpointManager
+    from seggroup_tpu.utils.prefetch import HostPrefetcher
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "minkunet.log"))
     dump_config(args, "stage2_minkunet")
     source = SceneSource(args)
-    io.cprint(f"scenes: {len(source)}  model: {args.model}")
-    rng = np.random.default_rng(args.seed)
+    n_val = int(len(source) * args.val_frac)
+    if args.val_frac > 0 and n_val == 0 and len(source) > 1:
+        n_val = 1
+    val_idx = list(range(len(source) - n_val, len(source)))
+    train_idx = list(range(len(source) - n_val)) or val_idx
+    io.cprint(f"scenes: {len(train_idx)} train / {len(val_idx)} val  "
+              f"model: {args.model}")
 
     caps = [args.capacity, args.capacity // 2, args.capacity // 4,
             args.capacity // 8, args.capacity // 8]
     model = make_minkunet(args.model, out_channels=args.num_classes,
                           level_caps=caps)
 
-    def sample_batch(train=True):
-        idx = rng.integers(0, len(source), size=args.batch_size)
+    def make_batch(step, idx_pool, augment):
+        """Thread-safe (per-step rng): batch + host-built pyramid plan."""
+        rng = np.random.default_rng((args.seed, step))
+        idx = rng.integers(0, len(idx_pool), size=args.batch_size)
         tuples = []
         for i in idx:
-            scene, extras = source.get(int(i))
+            scene, extras = source.get(int(idx_pool[int(i)]))
             tuples.append(scene_to_training_tuple(
-                scene, extras, args.pseudo_root, source.names[int(i)],
+                scene, extras, args.pseudo_root,
+                source.names[int(idx_pool[int(i)])],
                 args.pseudo_root is not None))
-        return make_voxel_batch(tuples, args.capacity, args.voxel_size,
-                                rng=rng, augment=train)
+        vb = make_voxel_batch(tuples, args.capacity, args.voxel_size,
+                              rng=rng, augment=augment)
+        plan = build_unet_plan(vb.coords, int(vb.num), caps)
+        return vb, plan
 
-    vb = sample_batch()
-    st0 = SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
-                       jnp.asarray(vb.valid), jnp.asarray(vb.num))
+    def to_device(vb, plan):
+        st = SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
+                          jnp.asarray(vb.valid), jnp.asarray(vb.num))
+        return st, jnp.asarray(vb.labels), jax.tree.map(jnp.asarray, plan)
+
+    vb0, plan0 = make_batch(0, train_idx, True)
+    st0, labels0, plan0 = to_device(vb0, plan0)
     # jit the init: eager init dispatches hundreds of tiny ops (very slow
     # through the axon tunnel); one compiled program instead
-    variables = jax.jit(lambda r, s: model.init(r, s, train=True))(
-        jax.random.PRNGKey(args.seed), st0)
+    variables = jax.jit(lambda r, s, pl: model.init(r, s, train=True, plan=pl))(
+        jax.random.PRNGKey(args.seed), st0, plan0)
     params, stats = variables["params"], variables["batch_stats"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     io.cprint(f"Network parameters: {n_params/1e6:.2f}M")
@@ -116,12 +140,15 @@ def main():
     opt_state = opt.init(params)
     ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
                                           "minkunet"))
+    best_ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
+                                               "minkunet_best"))
 
     @jax.jit
-    def train_step(params, stats, opt_state, st, labels):
+    def train_step(params, stats, opt_state, st, labels, plan):
         def loss_fn(p):
             logits, mut = model.apply({"params": p, "batch_stats": stats}, st,
-                                      train=True, mutable=["batch_stats"])
+                                      train=True, mutable=["batch_stats"],
+                                      plan=plan)
             ok = st.valid & (labels != IGNORE_LABEL)
             lp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(
@@ -138,30 +165,60 @@ def main():
             st.valid, labels, IGNORE_LABEL), args.num_classes)
         return params, new_stats, opt_state, loss, hist
 
+    @jax.jit
+    def eval_step(params, stats, st, labels, plan):
+        logits = model.apply({"params": params, "batch_stats": stats}, st,
+                             train=False, plan=plan)
+        return confusion_matrix(jnp.argmax(logits, -1), jnp.where(
+            st.valid, labels, IGNORE_LABEL), args.num_classes)
+
+    def validate():
+        hist = np.zeros((args.num_classes, args.num_classes), np.int64)
+        for j, vi in enumerate(val_idx):
+            vb, plan = make_batch(10_000_000 + j, [vi], False)
+            st, labels, plan = to_device(vb, plan)
+            hist += np.asarray(eval_step(params, stats, st, labels, plan))
+        return miou_from_confusion(hist)[0]
+
+    prefetch = HostPrefetcher(lambda s: make_batch(s + 1, train_idx, True),
+                              depth=2, workers=args.prefetch_workers)
     hist_acc = np.zeros((args.num_classes, args.num_classes))
-    t0 = time.time()
-    for it in range(1, args.max_iter + 1):
-        vb = sample_batch()
-        st = SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
-                          jnp.asarray(vb.valid), jnp.asarray(vb.num))
-        params, stats, opt_state, loss, hist = train_step(
-            params, stats, opt_state, st, jnp.asarray(vb.labels))
-        hist_acc += np.asarray(hist)
-        if it % 10 == 0 or it == args.max_iter:
-            miou, _ = miou_from_confusion(hist_acc)
-            io.cprint(
-                "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"
-                % (it, args.max_iter, float(loss), 100 * miou,
-                   schedule(it), (time.time() - t0) / it))
-        if should_stop(args.exp_name) and it % args.val_freq:
-            io.cprint('STOP file found — saving and exiting')
-            ckpt.save(it, {"params": jax.device_get(params),
-                           "batch_stats": jax.device_get(stats)})
-            break
-        if it % args.val_freq == 0 or it == args.max_iter:
-            ckpt.save(it, {"params": jax.device_get(params),
-                           "batch_stats": jax.device_get(stats)})
-            io.cprint(f"==> saved iter {it}")
+    best_val = -1.0
+    t_window = time.time()
+    try:
+        for it in range(1, args.max_iter + 1):
+            vb, plan = next(prefetch)
+            st, labels, plan = to_device(vb, plan)
+            params, stats, opt_state, loss, hist = train_step(
+                params, stats, opt_state, st, labels, plan)
+            hist_acc += np.asarray(hist)
+            if it % 10 == 0 or it == args.max_iter:
+                miou, _ = miou_from_confusion(hist_acc)
+                io.cprint(
+                    "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"
+                    % (it, args.max_iter, float(loss), 100 * miou,
+                       schedule(it), (time.time() - t_window) / 10))
+                t_window = time.time()
+            if should_stop(args.exp_name):
+                io.cprint('STOP file found — saving and exiting')
+                ckpt.save(it, {"params": jax.device_get(params),
+                               "batch_stats": jax.device_get(stats)})
+                break
+            if it % args.val_freq == 0 or it == args.max_iter:
+                ckpt.save(it, {"params": jax.device_get(params),
+                               "batch_stats": jax.device_get(stats)})
+                val_miou = validate()
+                marker = ""
+                if val_miou > best_val:
+                    best_val = val_miou
+                    best_ckpt.save(it, {"params": jax.device_get(params),
+                                        "batch_stats": jax.device_get(stats)})
+                    marker = "  (new best)"
+                io.cprint(f"==> saved iter {it}  val mIoU "
+                          f"{100*val_miou:.2f}%{marker}")
+                t_window = time.time()
+    finally:
+        prefetch.close()
 
 
 if __name__ == "__main__":

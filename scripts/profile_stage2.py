@@ -92,15 +92,31 @@ def main():
     fwd_t = (time.time() - t0) / args.iters
     print(f"forward (eval): {fwd_t*1e3:.1f} ms")
 
+    # --- forward with host plan
+    from seggroup_tpu.sparse.plan import build_unet_plan
+
+    t0 = time.time()
+    plan_np = build_unet_plan(vb.coords, int(vb.num), caps)
+    print(f"host plan build: {(time.time()-t0)*1e3:.1f} ms")
+    plan = jax.tree.map(jnp.asarray, plan_np)
+    fwd_p = jax.jit(lambda p, s, st, pl: model.apply(
+        {"params": p, "batch_stats": s}, st, train=False, plan=pl))
+    _ = sync(fwd_p(params, stats, st0, plan))
+    t0 = time.time()
+    for _ in range(args.iters):
+        _ = sync(fwd_p(params, stats, st0, plan))
+    print(f"forward (eval, host plan): {(time.time()-t0)/args.iters*1e3:.1f} ms")
+
     # --- full train step
     opt = optax.sgd(1e-2, momentum=0.9)
     opt_state = opt.init(params)
 
     @jax.jit
-    def train_step(params, stats, opt_state, st, labels):
+    def train_step(params, stats, opt_state, st, labels, plan):
         def loss_fn(p):
             logits, mut = model.apply({"params": p, "batch_stats": stats}, st,
-                                      train=True, mutable=["batch_stats"])
+                                      train=True, mutable=["batch_stats"],
+                                      plan=plan)
             ok = st.valid & (labels != IGNORE_LABEL)
             lp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(lp, jnp.clip(labels, 0, 19)[:, None],
@@ -113,16 +129,16 @@ def main():
         return params, new_stats, opt_state, loss
 
     t0 = time.time()
-    params, stats, opt_state, loss = train_step(params, stats, opt_state, st0, labels0)
+    params, stats, opt_state, loss = train_step(params, stats, opt_state, st0, labels0, plan)
     _ = float(loss)
     print(f"train-step compile+1st run: {time.time()-t0:.1f} s")
     t0 = time.time()
     for _ in range(args.iters):
-        params, stats, opt_state, loss = train_step(params, stats, opt_state, st0, labels0)
+        params, stats, opt_state, loss = train_step(params, stats, opt_state, st0, labels0, plan)
         _ = float(loss)
     step_t = (time.time() - t0) / args.iters
-    print(f"train step steady state: {step_t*1e3:.1f} ms")
-    print(f"TOTAL s/it (host prep + step, serial): {host_prep + step_t:.3f}")
+    print(f"train step steady state (host plan): {step_t*1e3:.1f} ms")
+    print(f"TOTAL s/it if host-bound: {max(host_prep, step_t):.3f}")
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@
 // Device compute stays in JAX/XLA/Pallas; these run in the input pipeline
 // where the reference also ran native code. Plain C ABI for ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -191,6 +192,136 @@ void nearest_neighbor_map(const float* verts, int64_t nv,
         }
         out[v] = best;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Sparse-conv UNet plan builders (host side of sparse/plan.py).
+//
+// The gather-GEMM-scatter engine (sparse/conv.py) consumes per-level
+// submanifold rulebooks and stride-2 down maps. Building them on device costs
+// ~0.75 s per Res16UNet forward at 2^17 voxels (27-neighborhood key search);
+// on host an open-addressing hash table does the same joins in ~10 ms per
+// level, overlapped with device compute by the prefetch pipeline. This is the
+// TPU-native analog of spconv/MinkowskiEngine host-side rulebook
+// construction (reference pointgroup voxelize.cpp:59-152 dense_hash_map;
+// MinkowskiEngine coords manager).
+
+namespace {
+
+// Open-addressing hash table mapping packed voxel key -> row index.
+struct VoxelTable {
+    std::vector<uint64_t> keys;
+    std::vector<int32_t> rows;
+    uint64_t mask;
+    static constexpr uint64_t EMPTY = ~0ull;
+
+    explicit VoxelTable(int64_t n) {
+        uint64_t cap = 16;
+        while (cap < (uint64_t)(2 * n + 2)) cap <<= 1;
+        keys.assign(cap, EMPTY);
+        rows.assign(cap, -1);
+        mask = cap - 1;
+    }
+    static inline uint64_t hash(uint64_t k) {
+        k ^= k >> 33;
+        k *= 0xff51afd7ed558ccdull;
+        k ^= k >> 33;
+        return k;
+    }
+    inline void insert(uint64_t k, int32_t row) {
+        uint64_t h = hash(k) & mask;
+        while (keys[h] != EMPTY) h = (h + 1) & mask;
+        keys[h] = k;
+        rows[h] = row;
+    }
+    inline int32_t find(uint64_t k) const {
+        uint64_t h = hash(k) & mask;
+        while (keys[h] != EMPTY) {
+            if (keys[h] == k) return rows[h];
+            h = (h + 1) & mask;
+        }
+        return -1;
+    }
+};
+
+// Pack (b, x, y, z) with 16 bits per spatial axis (matches the assumptions of
+// sparse/hashing.py: coords non-negative, < 16384).
+inline uint64_t pack_bxyz(int32_t b, int32_t x, int32_t y, int32_t z) {
+    return ((uint64_t)(uint16_t)b << 48) | ((uint64_t)(uint16_t)x << 32) |
+           ((uint64_t)(uint16_t)y << 16) | (uint64_t)(uint16_t)z;
+}
+
+}  // namespace
+
+// Submanifold kernel-3 rulebook. coords: capacity*4 int32 (b,x,y,z), first n
+// rows valid. out_nbr: capacity*27 int32; absent neighbors (and padding rows)
+// get `capacity`. Offset order matches ops kernel_offsets(3): k = (dx+1)*9 +
+// (dy+1)*3 + (dz+1).
+void subm_rulebook3(const int32_t* coords, int64_t n, int64_t capacity,
+                    int32_t* out_nbr) {
+    VoxelTable table(n);
+    for (int64_t i = 0; i < n; ++i)
+        table.insert(pack_bxyz(coords[4 * i], coords[4 * i + 1],
+                               coords[4 * i + 2], coords[4 * i + 3]),
+                     (int32_t)i);
+    const int32_t M = (int32_t)capacity;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t b = coords[4 * i], x = coords[4 * i + 1],
+                y = coords[4 * i + 2], z = coords[4 * i + 3];
+        int32_t* row = out_nbr + 27 * i;
+        int k = 0;
+        for (int dx = -1; dx <= 1; ++dx)
+            for (int dy = -1; dy <= 1; ++dy)
+                for (int dz = -1; dz <= 1; ++dz, ++k) {
+                    int32_t qx = x + dx, qy = y + dy, qz = z + dz;
+                    if (qx < 0 || qy < 0 || qz < 0) {
+                        row[k] = M;
+                        continue;
+                    }
+                    int32_t j = table.find(pack_bxyz(b, qx, qy, qz));
+                    row[k] = j < 0 ? M : j;
+                }
+    }
+    for (int64_t i = n; i < capacity; ++i)
+        for (int k = 0; k < 27; ++k) out_nbr[27 * i + k] = M;
+}
+
+// Stride-2 downsample plan: unique halved coords in LEXICOGRAPHIC (b,x,y,z)
+// order — identical to the device downsample_coords (lexsort-based) so the
+// host and device paths are interchangeable. Returns num_out (clamped to
+// cap_out). out_coords: cap_out*4 (zero-padded); out_row: n int32 (coarse row
+// per input, cap_out where overflow); out_delta: n int32 in {0..7}.
+int64_t downsample_plan(const int32_t* coords, int64_t n, int64_t cap_out,
+                        int32_t* out_coords, int32_t* out_row,
+                        int32_t* out_delta) {
+    std::vector<uint64_t> keys((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        keys[i] = pack_bxyz(coords[4 * i], coords[4 * i + 1] >> 1,
+                            coords[4 * i + 2] >> 1, coords[4 * i + 3] >> 1);
+        out_delta[i] = (coords[4 * i + 1] & 1) * 4 +
+                       (coords[4 * i + 2] & 1) * 2 + (coords[4 * i + 3] & 1);
+    }
+    std::vector<uint64_t> uniq(keys);
+    std::sort(uniq.begin(), uniq.end());
+    uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+    int64_t m = (int64_t)uniq.size();
+    int64_t m_kept = m < cap_out ? m : cap_out;
+    for (int64_t j = 0; j < m_kept; ++j) {
+        uint64_t k = uniq[j];
+        out_coords[4 * j] = (int32_t)((k >> 48) & 0xffff);
+        out_coords[4 * j + 1] = (int32_t)((k >> 32) & 0xffff);
+        out_coords[4 * j + 2] = (int32_t)((k >> 16) & 0xffff);
+        out_coords[4 * j + 3] = (int32_t)(k & 0xffff);
+    }
+    for (int64_t j = m_kept; j < cap_out; ++j)
+        out_coords[4 * j] = out_coords[4 * j + 1] = out_coords[4 * j + 2] =
+            out_coords[4 * j + 3] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t pos = std::lower_bound(uniq.begin(), uniq.end(), keys[i]) -
+                      uniq.begin();
+        out_row[i] = pos < cap_out ? (int32_t)pos : (int32_t)cap_out;
+    }
+    return m_kept;
 }
 
 // Union-find connected components over an edge list. labels: n int32 (min

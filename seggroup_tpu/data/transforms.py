@@ -39,19 +39,25 @@ def random_flip(coords: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 def elastic_distortion(coords: np.ndarray, rng: np.random.Generator,
                        granularity: float, magnitude: float) -> np.ndarray:
     """Blurred-noise displacement field (reference transforms.py:203-235 /
-    pointgroup scannetv2_inst.py:81-98)."""
-    blurs = [np.ones((3, 1, 1)) / 3, np.ones((1, 3, 1)) / 3, np.ones((1, 1, 3)) / 3]
+    pointgroup scannetv2_inst.py:81-98).
+
+    The box blurs run as separable float32 correlations (same kernel as the
+    reference's ones(3)/3 convolve passes; a symmetric kernel makes convolve
+    == correlate) — scipy.ndimage.convolve with float64 weights upcasts the
+    whole field and was ~20x slower on 150k-point scenes."""
     mins = coords.min(0)
     dims = ((coords - mins).max(0) // granularity).astype(int) + 3
-    noise = rng.standard_normal(size=(*dims, 3)).astype(np.float32)
+    noise = rng.standard_normal(size=(*dims, 3), dtype=np.float32)
+    k = np.array([1 / 3, 1 / 3, 1 / 3], np.float32)
     for _ in range(2):
-        for b in blurs:
-            noise = scipy.ndimage.convolve(noise, b[..., None], mode="constant")
+        for axis in range(3):
+            noise = scipy.ndimage.correlate1d(noise, k, axis=axis,
+                                              mode="constant")
     ax = [np.linspace(-granularity, granularity * (d - 2), d) for d in dims]
     interp = scipy.interpolate.RegularGridInterpolator(
         ax, noise, bounds_error=False, fill_value=0
     )
-    return coords + interp(coords - mins) * magnitude
+    return (coords + interp(coords - mins) * magnitude).astype(np.float32)
 
 
 def chromatic_auto_contrast(colors: np.ndarray, rng: np.random.Generator,

@@ -23,7 +23,8 @@ class VoxelBatch(NamedTuple):
     labels: np.ndarray   # (M,) int32 (ignore = 255)
     valid: np.ndarray    # (M,) bool
     num: np.ndarray      # () int32
-    point2voxel: list    # per-scene (N_i,) mapping for point-level eval
+    point2voxel: list    # per-scene (N_i,) mapping for point-level eval;
+                         # -1 marks points whose voxel overflowed capacity
 
 
 IGNORE_LABEL = 255
@@ -69,7 +70,10 @@ def make_voxel_batch(
         keep = min(len(ic), capacity - total)
         if keep < len(ic):
             ic, f, l = ic[:keep], f[:keep], l[:keep]
-            p2v = np.where(p2v < keep, p2v, 0)
+            # points whose voxel was dropped get sentinel -1 so point-level
+            # eval can EXCLUDE them instead of silently scoring them with
+            # voxel 0's prediction
+            p2v = np.where(p2v < keep, p2v, -1 - total)  # -1 after offset
         bc = np.concatenate([np.full((len(ic), 1), b, np.int32), ic], axis=1)
         all_c.append(bc)
         all_f.append(f)

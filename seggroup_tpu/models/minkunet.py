@@ -24,6 +24,7 @@ from seggroup_tpu.sparse.conv import (
     build_subm_rulebook,
     inverse_conv_up,
     strided_conv_down,
+    strided_conv_down_planned,
     subm_conv,
 )
 from seggroup_tpu.sparse.tensor import SparseTensor
@@ -116,7 +117,11 @@ class MinkUNet(nn.Module):
     level_caps: Sequence[int] | None = None  # per-level capacity (len 5)
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = True) -> jax.Array:
+    def __call__(self, st: SparseTensor, train: bool = True,
+                 plan: dict | None = None) -> jax.Array:
+        """`plan` (optional): host-built pyramid plan (sparse/plan.py) with
+        per-level rulebooks and down maps — skips all on-device rulebook
+        construction. plan=None builds everything on device (equivalent)."""
         caps = self.level_caps or [
             st.capacity, st.capacity // 2, st.capacity // 4,
             st.capacity // 8, st.capacity // 8,
@@ -134,8 +139,10 @@ class MinkUNet(nn.Module):
                 nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
                 (8, cin, cin),
             )
-            cap = caps[_down_level(name)]
-            return strided_conv_down(st, w, cap)
+            lvl = _down_level(name)
+            if plan is not None:
+                return strided_conv_down_planned(st, w, plan["down"][lvl - 1])
+            return strided_conv_down(st, w, caps[lvl])
 
         def up(st, cout, key, name):
             w = self.param(
@@ -145,10 +152,18 @@ class MinkUNet(nn.Module):
             )
             return inverse_conv_up(st, w, key)
 
+        def level_rulebook(st_l, lvl):
+            if plan is not None:
+                return plan["rulebooks"][lvl]
+            return build_subm_rulebook(st_l, 3)
+
         p = self.planes
 
         # stem
-        rb0 = build_subm_rulebook(st, self.conv1_kernel_size)
+        if plan is not None and self.conv1_kernel_size == 3:
+            rb0 = plan["rulebooks"][0]
+        else:
+            rb0 = build_subm_rulebook(st, self.conv1_kernel_size)
         h = SubMConv(self.init_dim, self.conv1_kernel_size, name="conv0")(st, rb0)
         h = SparseBatchNorm(bm, name="bn0")(h, st.valid, train)
         out_p1 = st.with_feats(nn.relu(h))
@@ -158,14 +173,15 @@ class MinkUNet(nn.Module):
         # the decoder-level rulebook is identical — 5 builds instead of 9)
         skips = []
         keys = []
-        rbs = [rb0]
+        # decoder blocks are always kernel-3; reuse rb0 only if the stem is too
+        rbs = [rb0 if self.conv1_kernel_size == 3 else level_rulebook(st, 0)]
         cur = out_p1
         for lvl in range(4):
             st_dn, key = down(cur, cur.channels, f"conv{lvl+1}s2")
             keys.append(key)
             h = SparseBatchNorm(bm, name=f"bn{lvl+1}")(st_dn.feats, st_dn.valid, train)
             st_dn = st_dn.with_feats(nn.relu(h))
-            rb = build_subm_rulebook(st_dn, 3)
+            rb = level_rulebook(st_dn, lvl + 1)
             rbs.append(rb)
             st_b = blocks(st_dn, self.layers[lvl], p[lvl], rb, f"block{lvl+1}", train)
             skips.append(st_b)

@@ -54,6 +54,12 @@ def get_lib():
         lib.connected_components_uf.restype = None
         lib.connected_components_uf.argtypes = [c_i32, ctypes.c_int64,
                                                 ctypes.c_int64, c_i32]
+        lib.subm_rulebook3.restype = None
+        lib.subm_rulebook3.argtypes = [c_i32, ctypes.c_int64, ctypes.c_int64,
+                                       c_i32]
+        lib.downsample_plan.restype = ctypes.c_int64
+        lib.downsample_plan.argtypes = [c_i32, ctypes.c_int64, ctypes.c_int64,
+                                        c_i32, c_i32, c_i32]
         _lib = lib
     return _lib
 
@@ -166,6 +172,63 @@ def nearest_neighbor_map(verts: np.ndarray, resampled: np.ndarray,
         d = ((verts[i:i + chunk, None] - resampled[None]) ** 2).sum(-1)
         out[i:i + chunk] = d.argmin(1)
     return out
+
+
+def subm_rulebook3(coords: np.ndarray, n: int, capacity: int) -> np.ndarray:
+    """Kernel-3 submanifold rulebook over (capacity, 4) int32 coords with the
+    first `n` rows valid. Returns (capacity, 27) int32 neighbor rows, absent
+    = capacity. Host analog of sparse/conv.build_subm_rulebook (the offset
+    ordering matches kernel_offsets(3)). Numpy fallback: dict lookups."""
+    coords = np.ascontiguousarray(coords, np.int32)
+    capacity = int(capacity)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((capacity, 27), np.int32)
+        lib.subm_rulebook3(_ptr(coords, ctypes.c_int32), int(n), capacity,
+                           _ptr(out, ctypes.c_int32))
+        return out
+    table = {tuple(c): i for i, c in enumerate(coords[:n])}
+    out = np.full((capacity, 27), capacity, np.int32)
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                for i in range(n):
+                    b, x, y, z = coords[i]
+                    q = (b, x + dx, y + dy, z + dz)
+                    if q[1] >= 0 and q[2] >= 0 and q[3] >= 0:
+                        out[i, k] = table.get(q, capacity)
+                k += 1
+    return out
+
+
+def downsample_plan(coords: np.ndarray, n: int, cap_out: int):
+    """Stride-2 downsample plan: unique halved coords in lexicographic order
+    (matching the device downsample_coords). Returns (out_coords (cap_out,4),
+    num_out, out_row (n_in,), delta (n_in,)); n_in = len(coords)."""
+    coords = np.ascontiguousarray(coords, np.int32)
+    n_in = len(coords)
+    lib = get_lib()
+    if lib is not None:
+        out_c = np.zeros((cap_out, 4), np.int32)
+        out_row = np.full(n_in, cap_out, np.int32)
+        delta = np.zeros(n_in, np.int32)
+        m = lib.downsample_plan(_ptr(coords, ctypes.c_int32), int(n),
+                                int(cap_out), _ptr(out_c, ctypes.c_int32),
+                                _ptr(out_row, ctypes.c_int32),
+                                _ptr(delta, ctypes.c_int32))
+        return out_c, int(m), out_row, delta
+    half = coords.copy()
+    half[:, 1:] >>= 1
+    delta = ((coords[:, 1] & 1) * 4 + (coords[:, 2] & 1) * 2
+             + (coords[:, 3] & 1)).astype(np.int32)
+    uniq, inv = np.unique(half[:n], axis=0, return_inverse=True)
+    m = min(len(uniq), cap_out)
+    out_c = np.zeros((cap_out, 4), np.int32)
+    out_c[:m] = uniq[:m]
+    out_row = np.full(n_in, cap_out, np.int32)
+    out_row[:n] = np.where(inv < cap_out, inv, cap_out)
+    return out_c, m, out_row, delta
 
 
 def connected_components(edges: np.ndarray, n: int):

@@ -253,20 +253,11 @@ def downsample_coords(st: SparseTensor, cap_out: int):
     return coords_out, valid_out, num_out, out_row, delta.astype(jnp.int32)
 
 
-def strided_conv_down(
-    st: SparseTensor, weights: jax.Array, cap_out: int,
-    compute_dtype=jnp.float32,
-) -> tuple[SparseTensor, dict]:
-    """Kernel-2 stride-2 sparse conv (spconv SparseConv3d(k=2,s=2) /
-    MinkowskiConvolution(k=2,s=2)). weights (8, Cin, Cout). Also returns the
-    `indice_key` dict needed by the matching inverse conv.
-
-    contrib[i] = feats[i] @ W[delta_i] via an (M,8,Cout) batched matmul +
+def _strided_apply(st, weights, cap_out, coords_out, valid_out, num_out,
+                   out_row, delta, compute_dtype):
+    """contrib[i] = feats[i] @ W[delta_i] via an (M,8,Cout) batched matmul +
     one-hot select, then ONE segment-sum scatter (scatters are the expensive
     op on TPU; the 8x matmul FLOPs are noise next to the UNet blocks)."""
-    coords_out, valid_out, num_out, out_row, delta = downsample_coords(
-        st, cap_out
-    )
     feats = jnp.where(st.valid[:, None], st.feats, 0.0).astype(compute_dtype)
     all_out = jnp.einsum("mc,kco->mko", feats, weights.astype(compute_dtype),
                          preferred_element_type=jnp.float32)  # (M, 8, Cout)
@@ -277,6 +268,35 @@ def strided_conv_down(
     key = {"out_row": out_row, "delta": delta, "fine_coords": st.coords,
            "fine_valid": st.valid, "fine_num": st.num}
     return st_out, key
+
+
+def strided_conv_down(
+    st: SparseTensor, weights: jax.Array, cap_out: int,
+    compute_dtype=jnp.float32,
+) -> tuple[SparseTensor, dict]:
+    """Kernel-2 stride-2 sparse conv (spconv SparseConv3d(k=2,s=2) /
+    MinkowskiConvolution(k=2,s=2)). weights (8, Cin, Cout). Also returns the
+    `indice_key` dict needed by the matching inverse conv."""
+    coords_out, valid_out, num_out, out_row, delta = downsample_coords(
+        st, cap_out
+    )
+    return _strided_apply(st, weights, cap_out, coords_out, valid_out,
+                          num_out, out_row, delta, compute_dtype)
+
+
+def strided_conv_down_planned(
+    st: SparseTensor, weights: jax.Array, down_plan: dict,
+    compute_dtype=jnp.float32,
+) -> tuple[SparseTensor, dict]:
+    """strided_conv_down with a host-precomputed down map (sparse/plan.py):
+    skips the on-device lexsort/compaction entirely."""
+    coords_out = down_plan["coords"]
+    num_out = down_plan["num"]
+    cap_out = coords_out.shape[0]
+    valid_out = jnp.arange(cap_out) < num_out
+    return _strided_apply(st, weights, cap_out, coords_out, valid_out,
+                          num_out, down_plan["out_row"], down_plan["delta"],
+                          compute_dtype)
 
 
 def inverse_conv_up(

@@ -185,6 +185,7 @@ def main():
     hist_acc = np.zeros((args.num_classes, args.num_classes))
     best_val = -1.0
     t_window = time.time()
+    it_window = 0
     try:
         for it in range(1, args.max_iter + 1):
             vb, plan = next(prefetch)
@@ -197,8 +198,10 @@ def main():
                 io.cprint(
                     "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"
                     % (it, args.max_iter, float(loss), 100 * miou,
-                       schedule(it), (time.time() - t_window) / 10))
+                       schedule(it),
+                       (time.time() - t_window) / max(1, it - it_window)))
                 t_window = time.time()
+                it_window = it
             if should_stop(args.exp_name):
                 io.cprint('STOP file found — saving and exiting')
                 ckpt.save(it, {"params": jax.device_get(params),
@@ -217,6 +220,7 @@ def main():
                 io.cprint(f"==> saved iter {it}  val mIoU "
                           f"{100*val_miou:.2f}%{marker}")
                 t_window = time.time()
+                it_window = it
     finally:
         prefetch.close()
 

@@ -1,7 +1,10 @@
 """Stage-2 instance segmentation training: PointGroup on pseudo labels
 (CLI parity with reference pointgroup/train.py + config/pointgroup_run2_
 scannet.yaml: 384 epochs, clustering+ScoreNet after prepare_epochs=128, Adam
-lr 1e-3 with step decay).
+lr 1e-3 with the reference's step decay lr = base * multiplier^(it //
+step_size) clipped at 1e-6 (reference util/utils.py:25-29; run2 yaml uses
+step_epoch=384, multiplier=0.5), plus held-out validation with
+best-checkpoint retention.
 
     python -m cli.stage2_train_pointgroup --synthetic 8 --steps 50
     python -m cli.stage2_train_pointgroup --data_root ... --pseudo_root results/exp
@@ -30,7 +33,12 @@ def main():
     p.add_argument("--instance_cap", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_step_size", type=int, default=120000,
+                   help="steps per decay step (reference step_epoch=384 of "
+                        "384 epochs, i.e. one decay interval over the run)")
+    p.add_argument("--lr_multiplier", type=float, default=0.5)
     p.add_argument("--steps", type=int, default=120000)
+    p.add_argument("--val_frac", type=float, default=0.1)
     p.add_argument("--prepare_steps", type=int, default=40000,
                    help="steps before clustering+ScoreNet kick in "
                         "(reference prepare_epochs=128 of 384)")
@@ -50,21 +58,28 @@ def main():
     io = IOStream(os.path.join("checkpoints", args.exp_name, "pointgroup.log"))
     dump_config(args, "stage2_pointgroup")
     source = SceneSource(args)
-    io.cprint(f"scenes: {len(source)}")
+    n_val = int(len(source) * args.val_frac)
+    if args.val_frac > 0 and n_val == 0 and len(source) > 1:
+        n_val = 1
+    val_idx = list(range(len(source) - n_val, len(source)))
+    train_idx = list(range(len(source) - n_val)) or val_idx
+    io.cprint(f"scenes: {len(train_idx)} train / {len(val_idx)} val")
     rng = np.random.default_rng(args.seed)
 
     model = PointGroup(classes=20, m=args.m, score_cap=args.voxel_cap // 8,
                        level_caps=[args.voxel_cap >> i for i in range(7)])
 
-    def sample_batch():
-        idx = rng.integers(0, len(source), size=args.batch_size)
+    def sample_batch(idx_pool=None, augment=True):
+        pool = train_idx if idx_pool is None else idx_pool
+        idx = [pool[int(j)] for j in
+               rng.integers(0, len(pool), size=args.batch_size)]
         tuples = []
         for i in idx:
             scene, extras = source.get(int(i))
             tuples.append(scene_instance_tuple(
                 scene, extras, args.pseudo_root, source.names[int(i)]))
         return make_pg_batch(tuples, args.point_cap, args.instance_cap,
-                             rng=rng, augment=True)
+                             rng=rng, augment=augment)
 
     def to_device(hb):
         ic = np.floor(hb.coords / args.voxel_size).astype(np.int32)
@@ -92,10 +107,17 @@ def main():
     io.cprint("Network parameters: %.2fM"
               % (sum(x.size for x in jax.tree.leaves(params)) / 1e6))
 
-    opt = optax.adam(args.lr)
+    def schedule(step):
+        # reference step_learning_rate (util/utils.py:25-29)
+        lr = args.lr * (args.lr_multiplier ** (step // args.lr_step_size))
+        return jnp.maximum(lr, 1e-6)
+
+    opt = optax.adam(schedule)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
                                           "pointgroup"))
+    best_ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
+                                               "pointgroup_best"))
 
     def make_step(do_clustering):
         @jax.jit
@@ -122,8 +144,34 @@ def main():
 
         return step
 
+    @jax.jit
+    def val_loss_step(params, stats, st, p2v, coords, batch_ids, valid,
+                      labels, inst, centroid, pointnum):
+        out = model.apply({"params": params, "batch_stats": stats}, st, p2v,
+                          coords, batch_ids, valid, do_clustering=False,
+                          train=False)
+        total, _ = pointgroup_loss(out, labels, inst, centroid, pointnum,
+                                   coords, valid,
+                                   num_instances_cap=args.instance_cap,
+                                   with_score=False)
+        return total
+
+    def validate():
+        losses = []
+        for j in range(max(1, len(val_idx) // args.batch_size)):
+            hb = sample_batch(val_idx, augment=False)
+            st, p2v = to_device(hb)
+            losses.append(float(val_loss_step(
+                params, stats, st, p2v, jnp.asarray(hb.coords),
+                jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
+                jnp.asarray(hb.labels), jnp.asarray(hb.instance_labels),
+                jnp.asarray(hb.instance_centroid),
+                jnp.asarray(hb.instance_pointnum))))
+        return float(np.mean(losses))
+
     steps = {False: make_step(False), True: make_step(True)}
     key = jax.random.PRNGKey(args.seed + 1)
+    best_val = float("inf")
     t0 = time.time()
     for it in range(1, args.steps + 1):
         hb = sample_batch()
@@ -150,7 +198,14 @@ def main():
         if it % args.save_freq == 0 or it == args.steps:
             ckpt.save(it, {"params": jax.device_get(params),
                            "batch_stats": jax.device_get(stats)})
-            io.cprint(f"==> saved step {it}")
+            vl = validate()
+            marker = ""
+            if vl < best_val:
+                best_val = vl
+                best_ckpt.save(it, {"params": jax.device_get(params),
+                                    "batch_stats": jax.device_get(stats)})
+                marker = "  (new best)"
+            io.cprint(f"==> saved step {it}  val loss {vl:.4f}{marker}")
 
 
 if __name__ == "__main__":

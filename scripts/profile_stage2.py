@@ -26,6 +26,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--model", type=str, default="Res16UNet34C")
+    p.add_argument("--skip_device_path", action="store_true",
+                   help="skip the (slow) device-built-rulebook measurements")
     args = p.parse_args()
 
     import jax
@@ -74,23 +76,24 @@ def main():
     def sync(x):
         return float(jnp.sum(jax.tree.leaves(x)[0][:1]))
 
-    # --- rulebook build alone
-    rb_fn = jax.jit(lambda st: build_subm_rulebook(st, 3))
-    _ = sync(rb_fn(st0))
-    t0 = time.time()
-    for _ in range(args.iters):
+    if not args.skip_device_path:
+        # --- rulebook build alone
+        rb_fn = jax.jit(lambda st: build_subm_rulebook(st, 3))
         _ = sync(rb_fn(st0))
-    print(f"one full-res rulebook build: {(time.time()-t0)/args.iters*1e3:.1f} ms")
+        t0 = time.time()
+        for _ in range(args.iters):
+            _ = sync(rb_fn(st0))
+        print(f"one full-res rulebook build: {(time.time()-t0)/args.iters*1e3:.1f} ms")
 
-    # --- forward alone
-    fwd = jax.jit(lambda p, s, st: model.apply(
-        {"params": p, "batch_stats": s}, st, train=False))
-    _ = sync(fwd(params, stats, st0))
-    t0 = time.time()
-    for _ in range(args.iters):
+        # --- forward alone
+        fwd = jax.jit(lambda p, s, st: model.apply(
+            {"params": p, "batch_stats": s}, st, train=False))
         _ = sync(fwd(params, stats, st0))
-    fwd_t = (time.time() - t0) / args.iters
-    print(f"forward (eval): {fwd_t*1e3:.1f} ms")
+        t0 = time.time()
+        for _ in range(args.iters):
+            _ = sync(fwd(params, stats, st0))
+        fwd_t = (time.time() - t0) / args.iters
+        print(f"forward (eval): {fwd_t*1e3:.1f} ms")
 
     # --- forward with host plan
     from seggroup_tpu.sparse.plan import build_unet_plan

@@ -286,6 +286,49 @@ void subm_rulebook3(const int32_t* coords, int64_t n, int64_t capacity,
         for (int k = 0; k < 27; ++k) out_nbr[27 * i + k] = M;
 }
 
+// Windowed-gather plan for the Pallas fused subm conv (sparse/conv.py
+// subm_conv windowed path). Voxel rows must be lexicographically sorted by
+// (b,x,y,z); then for each kernel (dx,dy) offset group the neighbor row
+// indices of a tile of T consecutive query rows span a short contiguous
+// window. Emits, per (tile, group): a 16-aligned window base row, and the
+// rulebook rewritten to window-local indices (absent/out-of-window = W) in
+// the dz-BLOCK-INTERLEAVED layout the Pallas kernel consumes:
+// out_local[((t*3 + dz)*tile + i) * 9 + g]. Returns the number of entries
+// that did NOT fit a window (callers fall back to the global-gather path
+// when > 0 — never silently drop neighbors).
+int64_t subm_windows(const int32_t* rulebook, int64_t capacity, int64_t tile,
+                     int64_t window, int32_t* out_base, int32_t* out_local) {
+    int64_t n_tiles = capacity / tile;
+    int64_t overflow = 0;
+    const int32_t M = (int32_t)capacity;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+        for (int g = 0; g < 9; ++g) {
+            int32_t lo = M;
+            for (int64_t i = t * tile; i < (t + 1) * tile; ++i)
+                for (int dz = 0; dz < 3; ++dz) {
+                    int32_t v = rulebook[27 * i + 3 * g + dz];
+                    if (v < M && v < lo) lo = v;
+                }
+            // 16-aligned: bf16 VMEM tiling is (16, 128) and DMA row starts
+            // must be provably tile-aligned
+            int32_t base = (lo == M) ? 0 : (lo & ~15);
+            out_base[9 * t + g] = base;
+            for (int64_t i = 0; i < tile; ++i)
+                for (int dz = 0; dz < 3; ++dz) {
+                    int32_t v = rulebook[27 * (t * tile + i) + 3 * g + dz];
+                    int32_t loc = (int32_t)window;
+                    if (v < M) {
+                        int32_t d = v - base;
+                        if (d >= 0 && d < (int32_t)window) loc = d;
+                        else ++overflow;
+                    }
+                    out_local[((t * 3 + dz) * tile + i) * 9 + g] = loc;
+                }
+        }
+    }
+    return overflow;
+}
+
 // Stride-2 downsample plan: unique halved coords in LEXICOGRAPHIC (b,x,y,z)
 // order — identical to the device downsample_coords (lexsort-based) so the
 // host and device paths are interchangeable. Returns num_out (clamped to

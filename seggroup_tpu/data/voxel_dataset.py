@@ -34,20 +34,26 @@ def voxelize_scene(coords: np.ndarray, colors: np.ndarray, labels: np.ndarray,
                    voxel_size: float):
     """Returns (int_coords (V,3), feats (V,3), labels (V,), point2voxel (N,)).
     Uses the native C++ rulebook builder when available (csrc/, the analog of
-    reference voxelize.cpp:59-152)."""
+    reference voxelize.cpp:59-152).
+
+    Voxels come out LEXICOGRAPHICALLY sorted by (x,y,z): the sparse engine's
+    windowed Pallas gather (sparse/pallas_conv.py) relies on sorted rows for
+    tight neighbor windows (unsorted input still works — the engine falls
+    back to the global gather — just slower)."""
     from seggroup_tpu import native
 
     ic = np.floor(coords / voxel_size).astype(np.int32)
     ic -= ic.min(0)
     p2v, vc = native.voxelize_rulebook(ic, np.zeros(len(ic), np.int32))
-    first = np.zeros(len(vc), np.int64)
+    # first occurrence of each voxel id (ME.sparse_quantize first-point rule)
     seen = np.full(len(vc), -1, np.int64)
-    idx = np.arange(len(ic))
-    # first occurrence of each voxel id
-    rev = p2v[::-1]
-    seen[rev] = idx[::-1]
+    seen[p2v[::-1]] = np.arange(len(ic))[::-1]
     first = seen
-    return vc[:, 1:4], colors[first], labels[first], p2v
+    order = np.lexsort((vc[:, 3], vc[:, 2], vc[:, 1]))
+    rank = np.empty(len(vc), np.int32)
+    rank[order] = np.arange(len(vc), dtype=np.int32)
+    return (vc[order][:, 1:4], colors[first[order]], labels[first[order]],
+            rank[p2v])
 
 
 def make_voxel_batch(

@@ -66,7 +66,8 @@ class SubMConv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, st: SparseTensor, rulebook: jax.Array) -> jax.Array:
+    def __call__(self, st: SparseTensor, rulebook: jax.Array,
+                 windows: dict | None = None) -> jax.Array:
         k = self.kernel_size ** 3
         cin = st.channels
         fan_in = k * cin
@@ -75,7 +76,7 @@ class SubMConv(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (k, cin, self.out_channels),
         )
-        out = subm_conv(st, w, rulebook)
+        out = subm_conv(st, w, rulebook, windows=windows)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.out_channels,))
@@ -90,12 +91,13 @@ class BasicBlock(nn.Module):
     bn_momentum: float = 0.02
 
     @nn.compact
-    def __call__(self, st: SparseTensor, rulebook: jax.Array, train: bool) -> SparseTensor:
+    def __call__(self, st: SparseTensor, rulebook: jax.Array, train: bool,
+                 windows: dict | None = None) -> SparseTensor:
         identity = st.feats
-        h = SubMConv(self.planes, name="conv1")(st, rulebook)
+        h = SubMConv(self.planes, name="conv1")(st, rulebook, windows)
         h = SparseBatchNorm(self.bn_momentum, name="norm1")(h, st.valid, train)
         h = nn.relu(h)
-        h = SubMConv(self.planes, name="conv2")(st.with_feats(h), rulebook)
+        h = SubMConv(self.planes, name="conv2")(st.with_feats(h), rulebook, windows)
         h = SparseBatchNorm(self.bn_momentum, name="norm2")(h, st.valid, train)
         if identity.shape[-1] != self.planes:
             identity = nn.Dense(self.planes, use_bias=False, name="downsample")(identity)
@@ -128,9 +130,13 @@ class MinkUNet(nn.Module):
         ]
         bm = self.bn_momentum
 
-        def blocks(st, n, planes, rb, name, train):
+        def blocks(st, n, planes, rb, name, train, lvl):
+            win = None
+            if plan is not None and "windows" in plan:
+                win = plan["windows"][lvl]
             for i in range(n):
-                st = BasicBlock(planes, bm, name=f"{name}_{i}")(st, rb, train)
+                st = BasicBlock(planes, bm, name=f"{name}_{i}")(st, rb, train,
+                                                                win)
             return st
 
         def down(st, cin, name):
@@ -162,9 +168,11 @@ class MinkUNet(nn.Module):
         # stem
         if plan is not None and self.conv1_kernel_size == 3:
             rb0 = plan["rulebooks"][0]
+            win0 = plan.get("windows", [None] * 5)[0]
         else:
             rb0 = build_subm_rulebook(st, self.conv1_kernel_size)
-        h = SubMConv(self.init_dim, self.conv1_kernel_size, name="conv0")(st, rb0)
+            win0 = None
+        h = SubMConv(self.init_dim, self.conv1_kernel_size, name="conv0")(st, rb0, win0)
         h = SparseBatchNorm(bm, name="bn0")(h, st.valid, train)
         out_p1 = st.with_feats(nn.relu(h))
 
@@ -183,7 +191,8 @@ class MinkUNet(nn.Module):
             st_dn = st_dn.with_feats(nn.relu(h))
             rb = level_rulebook(st_dn, lvl + 1)
             rbs.append(rb)
-            st_b = blocks(st_dn, self.layers[lvl], p[lvl], rb, f"block{lvl+1}", train)
+            st_b = blocks(st_dn, self.layers[lvl], p[lvl], rb, f"block{lvl+1}",
+                          train, lvl + 1)
             skips.append(st_b)
             cur = st_b
 
@@ -198,7 +207,7 @@ class MinkUNet(nn.Module):
             st_cat = st_up.with_feats(cat)
             rb = rbs[3 - lvl]
             cur = blocks(st_cat, self.layers[4 + lvl], p[4 + lvl], rb,
-                         f"block{lvl+5}", train)
+                         f"block{lvl+5}", train, 3 - lvl)
 
         logits = nn.Dense(self.out_channels, use_bias=True, name="final")(cur.feats)
         return jnp.where(cur.valid[:, None], logits, 0.0)

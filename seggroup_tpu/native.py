@@ -60,6 +60,9 @@ def get_lib():
         lib.downsample_plan.restype = ctypes.c_int64
         lib.downsample_plan.argtypes = [c_i32, ctypes.c_int64, ctypes.c_int64,
                                         c_i32, c_i32, c_i32]
+        lib.subm_windows.restype = ctypes.c_int64
+        lib.subm_windows.argtypes = [c_i32, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, c_i32, c_i32]
         _lib = lib
     return _lib
 
@@ -200,6 +203,41 @@ def subm_rulebook3(coords: np.ndarray, n: int, capacity: int) -> np.ndarray:
                         out[i, k] = table.get(q, capacity)
                 k += 1
     return out
+
+
+def subm_windows(rulebook: np.ndarray, tile: int, window: int):
+    """Windowed-gather plan over a (capacity, 27) rulebook whose rows are in
+    lexicographic coordinate order. Returns (win_base (capacity//tile, 9),
+    rb_win (3*capacity, 9), overflow_count).
+
+    rb_win is the dz-BLOCK-INTERLEAVED layout the Pallas kernel consumes:
+    rb_win[(t*3 + dz)*tile + i, g] = window-local index of query row
+    t*tile + i for kernel offset k = g*3 + dz; == window marks absent.
+    overflow_count > 0 means a REAL neighbor did not fit its window —
+    callers must then use the global-gather path (never silently drop)."""
+    rulebook = np.ascontiguousarray(rulebook, np.int32)
+    capacity = len(rulebook)
+    n_tiles = capacity // tile
+    lib = get_lib()
+    if lib is not None:
+        base = np.empty((n_tiles, 9), np.int32)
+        rb_win = np.empty((3 * capacity, 9), np.int32)
+        ovf = lib.subm_windows(_ptr(rulebook, ctypes.c_int32), capacity, tile,
+                               window, _ptr(base, ctypes.c_int32),
+                               _ptr(rb_win, ctypes.c_int32))
+        return base, rb_win, int(ovf)
+    m = capacity
+    rb3 = rulebook.reshape(n_tiles, tile, 9, 3)
+    present = rb3 < m
+    lo = np.where(present, rb3, m).min(axis=(1, 3))  # (n_tiles, 9)
+    base = np.where(lo == m, 0, lo & ~15).astype(np.int32)
+    d = rb3 - base[:, None, :, None]
+    fits = present & (d >= 0) & (d < window)
+    local = np.where(fits, d, window).astype(np.int32)  # (nt, tile, 9, 3)
+    ovf = int((present & ~fits).sum())
+    rb_win = np.ascontiguousarray(
+        local.transpose(0, 3, 1, 2).reshape(3 * capacity, 9))
+    return base, rb_win, int(ovf)
 
 
 def downsample_plan(coords: np.ndarray, n: int, cap_out: int):

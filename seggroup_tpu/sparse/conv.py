@@ -158,16 +158,31 @@ def _build_subm_rulebook_generic(st: SparseTensor, kernel_size: int) -> jax.Arra
 
 # --- submanifold conv with symmetric-transpose custom VJP -------------------
 
+# rows per gather+matmul tile: bounds the transient (chunk, K, Cin) block to
+# ~100 MB so train steps fit HBM at million-voxel capacities, while each tile
+# is still a big MXU matmul (chunk, K*Cin) x (K*Cin, Cout)
+_SUBM_CHUNK = 16384
+
 
 def _subm_apply(feats, weights, rulebook, compute_dtype):
     """out[i] = sum_k W[k]^T feats[nbr[i,k]]; feats already masked/padded-safe
-    (absent neighbors index the zero pad row M)."""
+    (absent neighbors index the zero pad row M). Tiled over rows via lax.map
+    so the gathered block never materialises whole."""
     feats_pad = jnp.concatenate(
         [feats.astype(compute_dtype),
          jnp.zeros((1, feats.shape[1]), compute_dtype)], axis=0)
-    g = feats_pad[rulebook]  # (M, K, Cin)
-    return jnp.einsum("mkc,kco->mo", g, weights.astype(compute_dtype),
-                      preferred_element_type=jnp.float32)
+    w = weights.astype(compute_dtype)
+    m, k = rulebook.shape
+
+    def tile(rb):
+        g = feats_pad[rb]  # (chunk, K, Cin)
+        return jnp.einsum("mkc,kco->mo", g, w,
+                          preferred_element_type=jnp.float32)
+
+    if m <= _SUBM_CHUNK or m % _SUBM_CHUNK != 0:
+        return tile(rulebook)
+    out = jax.lax.map(tile, rulebook.reshape(m // _SUBM_CHUNK, _SUBM_CHUNK, k))
+    return out.reshape(m, -1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -188,22 +203,123 @@ def _subm_bwd(compute_dtype, res, dout):
     # rulebook) — a gather, not a scatter.
     w_flip = jnp.flip(weights, axis=0).transpose(0, 2, 1)  # (K, Cout, Cin)
     dfeats = _subm_apply(dout, w_flip, rulebook, compute_dtype)
-    # weight grad: recompute the gather (rematerialised, never stored)
+    # weight grad: recompute the gather (rematerialised, never stored),
+    # tiled like the forward with a (K, Cin, Cout) f32 accumulator
     feats_pad = jnp.concatenate(
         [feats.astype(compute_dtype),
          jnp.zeros((1, feats.shape[1]), compute_dtype)], axis=0)
-    g = feats_pad[rulebook]  # (M, K, Cin)
-    dw = jnp.einsum("mkc,mo->kco", g, dout.astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
+    dout_c = dout.astype(compute_dtype)
+    m, k = rulebook.shape
+
+    def dw_tile(rb, do):
+        g = feats_pad[rb]  # (chunk, K, Cin)
+        return jnp.einsum("mkc,mo->kco", g, do,
+                          preferred_element_type=jnp.float32)
+
+    if m <= _SUBM_CHUNK or m % _SUBM_CHUNK != 0:
+        dw = dw_tile(rulebook, dout_c)
+    else:
+        n_tiles = m // _SUBM_CHUNK
+
+        def body(acc, args):
+            return acc + dw_tile(*args), None
+
+        dw, _ = jax.lax.scan(
+            body,
+            jnp.zeros(weights.shape, jnp.float32),
+            (rulebook.reshape(n_tiles, _SUBM_CHUNK, k),
+             dout_c.reshape(n_tiles, _SUBM_CHUNK, -1)),
+        )
     return dfeats.astype(feats.dtype), dw.astype(weights.dtype), None
 
 
 _subm_conv_core.defvjp(_subm_fwd, _subm_bwd)
 
 
+# --- windowed (Pallas fused gather-GEMM) variant -----------------------------
+#
+# Same math, but the gather runs as contiguous window DMAs + one-hot MXU
+# matmuls (sparse/pallas_conv.py) — ~2-3x the plain path on v5e, which is
+# gather-bound at ~2% of HBM bandwidth. `use_window` is a traced scalar from
+# the host plan: when the host window planner reported overflow (a neighbor
+# that did not fit its window) the lax.cond falls back to the exact global
+# gather, so results are ALWAYS exact.
+
+
+def _win_or_plain(feats, weights, rulebook, rb_win, win_base, use_window,
+                  compute_dtype, tile, window):
+    from seggroup_tpu.sparse.pallas_conv import subm_conv_windowed
+
+    return jax.lax.cond(
+        use_window,
+        lambda f, w: subm_conv_windowed(f, w, rb_win, win_base,
+                                        compute_dtype=compute_dtype,
+                                        tile=tile, window=window),
+        lambda f, w: _subm_apply(f, w, rulebook, compute_dtype),
+        feats, weights,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _subm_conv_win_core(feats, weights, rulebook, rb_win, win_base,
+                        use_window, compute_dtype, tile, window):
+    return _win_or_plain(feats, weights, rulebook, rb_win, win_base,
+                         use_window, compute_dtype, tile, window)
+
+
+def _subm_win_fwd(feats, weights, rulebook, rb_win, win_base, use_window,
+                  compute_dtype, tile, window):
+    out = _win_or_plain(feats, weights, rulebook, rb_win, win_base,
+                        use_window, compute_dtype, tile, window)
+    return out, (feats, weights, rulebook, rb_win, win_base, use_window)
+
+
+def _subm_win_bwd(compute_dtype, tile, window, res, dout):
+    from seggroup_tpu.sparse.pallas_conv import subm_dw_windowed
+
+    feats, weights, rulebook, rb_win, win_base, use_window = res
+    w_flip = jnp.flip(weights, axis=0).transpose(0, 2, 1)
+    dfeats = _win_or_plain(dout, w_flip, rulebook, rb_win, win_base,
+                           use_window, compute_dtype, tile, window)
+
+    def dw_win(f, do):
+        return subm_dw_windowed(f, do, rb_win, win_base,
+                                compute_dtype=compute_dtype, tile=tile,
+                                window=window)
+
+    def dw_plain(f, do):
+        feats_pad = jnp.concatenate(
+            [f.astype(compute_dtype),
+             jnp.zeros((1, f.shape[1]), compute_dtype)], axis=0)
+        do_c = do.astype(compute_dtype)
+        m, k = rulebook.shape
+        if m <= _SUBM_CHUNK or m % _SUBM_CHUNK != 0:
+            return jnp.einsum("mkc,mo->kco", feats_pad[rulebook], do_c,
+                              preferred_element_type=jnp.float32)
+        n_tiles = m // _SUBM_CHUNK
+
+        def body(acc, args):
+            rb, d = args
+            return acc + jnp.einsum("mkc,mo->kco", feats_pad[rb], d,
+                                    preferred_element_type=jnp.float32), None
+
+        dw, _ = jax.lax.scan(
+            body, jnp.zeros(weights.shape, jnp.float32),
+            (rulebook.reshape(n_tiles, _SUBM_CHUNK, k),
+             do_c.reshape(n_tiles, _SUBM_CHUNK, -1)))
+        return dw
+
+    dw = jax.lax.cond(use_window, dw_win, dw_plain, feats, dout)
+    return (dfeats.astype(feats.dtype), dw.astype(weights.dtype), None, None,
+            None, None)
+
+
+_subm_conv_win_core.defvjp(_subm_win_fwd, _subm_win_bwd)
+
+
 def subm_conv(
     st: SparseTensor, weights: jax.Array, rulebook: jax.Array,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16, windows: dict | None = None,
 ) -> jax.Array:
     """weights (K, Cin, Cout); returns (M, Cout) float32. out[i] = sum_k
     W[k]^T feats[nbr[i,k]] over present neighbors.
@@ -211,11 +327,25 @@ def subm_conv(
     The gathered (M, K, Cin) block rides in `compute_dtype` (bf16 by default
     — gathers are byte-bound on TPU and bf16 is MXU-native); accumulation is
     always f32 via preferred_element_type. Gradients flow through a custom
-    VJP that stores only (feats, weights, rulebook) — see module docstring."""
-    assert weights.shape[0] % 2 == 1 or round(weights.shape[0] ** (1 / 3)) % 2 == 1, (
+    VJP that stores only (feats, weights, rulebook) — see module docstring.
+
+    `windows` (optional): host-built windowed-gather plan for this level
+    (sparse/plan.py: {"rb_win", "win_base", "use_window"}; tile/window sizes
+    are the pallas_conv.TILE/WINDOW constants) — routes the gather through
+    the Pallas fused kernel."""
+    from seggroup_tpu.sparse import pallas_conv
+
+    assert weights.shape[0] % 2 == 1, (
         "subm_conv custom VJP requires an odd (symmetric) kernel")
     feats = jnp.where(st.valid[:, None], st.feats, 0.0)
-    out = _subm_conv_core(feats, weights, rulebook, compute_dtype)
+    if (windows is None or st.capacity % pallas_conv.TILE != 0
+            or st.capacity < 8 * pallas_conv.TILE):  # SMEM base blocks are 8-tile
+        out = _subm_conv_core(feats, weights, rulebook, compute_dtype)
+    else:
+        out = _subm_conv_win_core(
+            feats, weights, rulebook, windows["rb_win"], windows["win_base"],
+            windows["use_window"], compute_dtype, pallas_conv.TILE,
+            pallas_conv.WINDOW)
     return jnp.where(st.valid[:, None], out, 0.0)
 
 

@@ -47,7 +47,67 @@ def test_unet_plan_end_to_end_parity(rng):
 
     out_dev = np.asarray(model.apply(variables, st, train=False))
     out_plan = np.asarray(model.apply(variables, st, train=False, plan=plan))
-    np.testing.assert_array_equal(out_plan, out_dev)
+    # windowed Pallas convs sum groups in a different order: tiny float noise
+    np.testing.assert_allclose(out_plan, out_dev, rtol=1e-5, atol=1e-6)
+
+    # without windows the plan path is bit-identical to the device path
+    plan_nw = {k: v for k, v in plan.items() if k != "windows"}
+    out_plan_nw = np.asarray(model.apply(variables, st, train=False,
+                                         plan=plan_nw))
+    np.testing.assert_array_equal(out_plan_nw, out_dev)
+
+
+def test_windowed_conv_matches_plain(rng):
+    """Pallas windowed gather (interpret mode on CPU) == plain gather, fwd
+    and both gradients, including absent neighbors and window fallback."""
+    import jax
+
+    from seggroup_tpu.sparse import pallas_conv
+    from seggroup_tpu.sparse.conv import _subm_apply, subm_conv
+
+    m, cin, cout = 8 * pallas_conv.TILE, 8, 6
+    base = np.arange(m)[:, None]
+    rb = np.clip(base + rng.integers(-40, 40, size=(m, 27)), 0, m - 1)
+    rb = np.where(rng.random((m, 27)) < 0.3, m, rb).astype(np.int32)
+    win_base, rb_win, ovf = native.subm_windows(
+        rb, pallas_conv.TILE, pallas_conv.WINDOW)
+    assert ovf == 0
+    feats = rng.normal(size=(m, cin)).astype(np.float32)
+    w = (rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32)
+
+    st = SparseTensor(jnp.zeros((m, 4), jnp.int32), jnp.asarray(feats),
+                      jnp.ones((m,), bool), jnp.int32(m))
+    windows = {"rb_win": jnp.asarray(rb_win), "win_base": jnp.asarray(win_base),
+               "use_window": jnp.asarray(True)}
+    rbj, wj = jnp.asarray(rb), jnp.asarray(w)
+    dout = jnp.asarray(rng.normal(size=(m, cout)).astype(np.float32))
+
+    def loss_win(w, f):
+        return jnp.sum(subm_conv(st.with_feats(f), w, rbj,
+                                 compute_dtype=jnp.float32,
+                                 windows=windows) * dout)
+
+    def loss_plain(w, f):
+        return jnp.sum(subm_conv(st.with_feats(f), w, rbj,
+                                 compute_dtype=jnp.float32) * dout)
+
+    out_w = subm_conv(st, wj, rbj, compute_dtype=jnp.float32, windows=windows)
+    out_p = subm_conv(st, wj, rbj, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_p),
+                               rtol=1e-5, atol=1e-5)
+    gw1, gf1 = jax.grad(loss_win, argnums=(0, 1))(wj, st.feats)
+    gw2, gf2 = jax.grad(loss_plain, argnums=(0, 1))(wj, st.feats)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-4,
+                               atol=1e-4)
+
+    # overflow fallback: use_window False routes through the plain path
+    windows_off = dict(windows, use_window=jnp.asarray(False))
+    out_f = subm_conv(st, wj, rbj, compute_dtype=jnp.float32,
+                      windows=windows_off)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_prefetcher_order_and_errors():

@@ -125,6 +125,51 @@ def build_stage1_train_step(
     )
 
 
+def build_minkunet_dp_step(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    num_classes: int = 20, ignore_label: int = 255,
+) -> Callable:
+    """Stage-2 data-parallel train step: each device holds its own voxel
+    batch shard (a full SparseTensor + labels + host-built pyramid plan with
+    leading axis = mesh size), computes local grads, pmeans them. The
+    reference trains its backbones single-GPU (minkowski/README_zh.md:56) —
+    scaling them over the mesh is a capability the reference lacks.
+
+    Call: step(params, stats, opt_state, st_batch, labels_batch, plan_batch)
+      -> (params, stats, opt_state, summed_loss)."""
+
+    def local_loss(params, stats, st, labels, plan):
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": stats}, st, train=True,
+            mutable=["batch_stats"], plan=plan)
+        ok = st.valid & (labels != ignore_label)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            lp, jnp.clip(labels, 0, num_classes - 1)[:, None], axis=1)[:, 0]
+        loss = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+        return loss, mut["batch_stats"]
+
+    def step(params, stats, opt_state, st, labels, plan):
+        st, labels, plan = jax.tree.map(lambda x: x[0], (st, labels, plan))
+        (loss, new_stats), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, stats, st, labels, plan)
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, jax.lax.psum(loss, "data")
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def build_stage1_infer_step(model, mesh: Mesh, mode: str) -> Callable:
     """No-grad inference step; returns per-scene outputs gathered to host
     (reference infer.py:131-156)."""

@@ -122,3 +122,67 @@ def test_dp_infer_step():
     assert out.final_sem.shape == (8, 1024)
     sems = np.asarray(out.final_sem)
     assert (sems >= 1).all()  # every point labeled in every scene
+
+
+def test_minkunet_dp_grad_equivalence():
+    """DP-pmean'd MinkUNet update == the mean of serially-computed per-shard
+    gradients (stage-2 DDP equivalence; the stage-1 analog is above)."""
+    import optax
+
+    from seggroup_tpu.data.voxel_dataset import IGNORE_LABEL, make_voxel_batch
+    from seggroup_tpu.models.minkunet import make_minkunet
+    from seggroup_tpu.parallel.dp import build_minkunet_dp_step
+    from seggroup_tpu.sparse.plan import build_unet_plan
+    from seggroup_tpu.sparse.tensor import SparseTensor
+
+    n_dev = 8
+    cap = 256
+    caps = [cap, cap // 2, cap // 4, cap // 8, cap // 8]
+    model = make_minkunet("Res16UNet14A", out_channels=20, level_caps=caps)
+    rng = np.random.default_rng(0)
+    sts, labs, plans = [], [], []
+    for d in range(n_dev):
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        cols = rng.uniform(0, 255, size=(300, 3)).astype(np.float32)
+        ls = rng.integers(0, 20, size=300).astype(np.int32)
+        vb = make_voxel_batch([(pts, cols, ls)], cap, 0.1, rng=rng)
+        sts.append(SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
+                                jnp.asarray(vb.valid), jnp.asarray(vb.num)))
+        labs.append(jnp.asarray(vb.labels))
+        plans.append(jax.tree.map(
+            jnp.asarray, build_unet_plan(vb.coords, int(vb.num), caps)))
+
+    variables = model.init(jax.random.PRNGKey(0), sts[0], train=True,
+                           plan=plans[0])
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = optax.sgd(1e-1)
+    mesh = make_mesh(n_dev)
+    dp_step = build_minkunet_dp_step(model, opt, mesh)
+
+    st_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+    plan_b = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+    lab_b = jnp.stack(labs)
+    p1, s1, o1, loss = dp_step(
+        replicate(mesh, params), replicate(mesh, stats),
+        replicate(mesh, opt.init(params)), shard_batch(mesh, st_b),
+        shard_batch(mesh, lab_b), shard_batch(mesh, plan_b))
+
+    # serial reference: mean of per-shard grads, one SGD step
+    def loss_fn(p, st, labels, plan):
+        logits, _ = model.apply({"params": p, "batch_stats": stats}, st,
+                                train=True, mutable=["batch_stats"],
+                                plan=plan)
+        ok = st.valid & (labels != IGNORE_LABEL)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, jnp.clip(labels, 0, 19)[:, None],
+                                   axis=1)[:, 0]
+        return jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    grads = [grad_fn(params, sts[d], labs[d], plans[d]) for d in range(n_dev)]
+    mean_grads = jax.tree.map(lambda *g: sum(g) / n_dev, *grads)
+    want = jax.tree.map(lambda p, g: p - 1e-1 * g, params, mean_grads)
+    for a, b in zip(jax.tree.leaves(jax.device_get(p1)),
+                    jax.tree.leaves(jax.device_get(want))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert np.isfinite(float(loss))

@@ -48,6 +48,11 @@ def add_common_args(p):
                    help="use N synthetic scenes instead of prepared ScanNet")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--parallel_grouping", action="store_true",
+                   help="use the parallel-rounds merge engine instead of "
+                        "the bit-faithful sequential emulation (faster, "
+                        "diverges on label-conflict components; see "
+                        "docs/ARCHITECTURE.md)")
 
 
 class SceneSource:

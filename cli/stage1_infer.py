@@ -43,7 +43,8 @@ def main():
     n_dev = mesh.devices.size
     source = SceneSource(args)
 
-    model = SegGroupGNN(cluster_cap=args.cluster_cap)
+    model = SegGroupGNN(cluster_cap=args.cluster_cap,
+                        sequential=not args.parallel_grouping)
     scene0, _ = source.get(0)
     scene0 = jax.tree.map(jnp.asarray, scene0)
     variables = jax.jit(

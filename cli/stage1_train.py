@@ -44,7 +44,8 @@ def main():
     source = SceneSource(args)
     io.cprint(f"scenes: {len(source)}")
 
-    model = SegGroupGNN(cluster_cap=args.cluster_cap)
+    model = SegGroupGNN(cluster_cap=args.cluster_cap,
+                        sequential=not args.parallel_grouping)
     scene0, _ = source.get(0)
     import jax.numpy as jnp
     scene0 = jax.tree.map(jnp.asarray, scene0)

@@ -271,6 +271,14 @@ class SegGroupGNN(nn.Module):
     th_structural_sem_infer: float = 3.0
     th_semantic: float = 2.0
     gcn_alpha: float = 0.125
+    sequential: bool = True  # True (default): bit-faithful sequential-order
+    # merge emulation (ops.grouping.group_nearby_clusters_sequential) —
+    # reference-parity pseudo-labels, a latency-bound lax.scan per layer.
+    # False: parallel-rounds formulation — faster, exact on single-label
+    # components, but measurably diverges (and loses pseudo-label quality)
+    # once components hold conflicting weak labels; see
+    # docs/ARCHITECTURE.md "Parallel vs sequential grouping" for the measured
+    # divergence table (scripts/grouping_divergence.py).
     knn_k: int = 20
     knn_window: int = 8192  # sorted-candidate budget; clusters larger than
     # this get window-truncated (approximate) kNN — see ops.knn.cluster_knn
@@ -304,9 +312,7 @@ class SegGroupGNN(nn.Module):
         feat1 = self.mlp_1(clouds, act1, train)  # (S, 128)
         d1 = gr.edge_distances(feat1, g, edges)
         th1 = self.th_structural_sem_infer if mode == "sem_infer" else self.th_structural
-        g, _ = gr.group_nearby_clusters(
-            g, edges, ev, jax.lax.stop_gradient(d1), th1
-        )
+        g, _ = self._group(g, edges, ev, jax.lax.stop_gradient(d1), th1)
         edges, ev = gr.normalize_edges(g, edges, ev)
         feat2 = gr.aggregate_cluster_feature(feat1, g, act1)  # (S, 128)
         roots_l2 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
@@ -403,11 +409,14 @@ class SegGroupGNN(nn.Module):
 
         d = gr.edge_distances(feat, g, edges)
         act_before = gr.active_mask(g)
-        g, _ = gr.group_nearby_clusters(
-            g, edges, ev, jax.lax.stop_gradient(d), self.th_semantic
-        )
+        g, _ = self._group(g, edges, ev, jax.lax.stop_gradient(d), self.th_semantic)
         edges, ev = gr.normalize_edges(g, edges, ev)
         return feat, g, edges, ev, act_before
+
+    def _group(self, g, edges, ev, dists, th):
+        fn = (gr.group_nearby_clusters_sequential if self.sequential
+              else gr.group_nearby_clusters)
+        return fn(g, edges, ev, dists, th)
 
     @staticmethod
     def _export_labels(g, roots, pt_valid, s):

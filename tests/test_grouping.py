@@ -199,6 +199,110 @@ def test_group_nearby_parallel_equals_oracle_when_conflict_free(rng):
             assert np.asarray(g_out.point_num)[r_ours] == ds_out.pn[r_oracle]
 
 
+def _multilabel_graph(rng, s, e_slots, n_instances, conflict_frac=0.1, th=5.0):
+    """Realistic-scale graph: instances are connected slot blobs (chain
+    backbone + random intra edges), with `conflict_frac` of cross-instance
+    edges below threshold — the multi-label-component trigger for merge-order
+    dependence (mirrors scripts/grouping_divergence.py)."""
+    cuts = np.sort(rng.choice(np.arange(1, s), size=n_instances - 1, replace=False))
+    bounds = np.concatenate([[0], cuts, [s]])
+    counts = rng.integers(5, 200, size=s).astype(np.int64)
+    ins = np.full(s, -1, np.int32)
+    sem = np.full(s, -1, np.int32)
+    edges = []
+    for i in range(n_instances):
+        members = np.arange(bounds[i], bounds[i + 1])
+        seed_slot = rng.choice(members)
+        ins[seed_slot] = i
+        sem[seed_slot] = int(rng.integers(0, 20))
+        for a, b in zip(members[:-1], members[1:]):
+            edges.append((a, b, rng.uniform(0.0, th)))
+        for _ in range(max(1, len(members) // 2)):
+            a, b = rng.choice(members, 2, replace=True)
+            if a != b:
+                edges.append((min(a, b), max(a, b), rng.uniform(0.0, th * 2)))
+    for _ in range(len(edges) // 4):
+        a, b = rng.integers(0, s, 2)
+        if a == b:
+            continue
+        d = rng.uniform(0.0, th) if rng.random() < conflict_frac else rng.uniform(
+            th, th * 3)
+        edges.append((min(a, b), max(a, b), d))
+    seen, ded = set(), []
+    for a, b, d in edges:
+        if (a, b) not in seen:
+            seen.add((a, b))
+            ded.append((a, b, d))
+    ded.sort(key=lambda t: (t[0], t[1]))
+    ded = ded[:e_slots]
+    e_arr = np.zeros((e_slots, 2), np.int32)
+    dists = np.full(e_slots, 1e9, np.float32)
+    ev = np.zeros(e_slots, bool)
+    for i, (a, b, d) in enumerate(ded):
+        e_arr[i], dists[i], ev[i] = (a, b), d, True
+    return counts, ins, sem, e_arr, ev, dists
+
+
+def test_sequential_matches_oracle_at_scale(rng):
+    """Bit-fidelity of the default (sequential) engine on multi-label graphs
+    at realistic scale: 512 slots / 4096 edge slots, conflict-capable
+    cross-instance edges (VERDICT r1 item 3; reference model.py:218-258)."""
+    s, e_slots = 512, 4096
+    for trial in range(3):
+        counts, ins, sem, e_arr, ev, dists = _multilabel_graph(
+            rng, s, e_slots, n_instances=24, conflict_frac=0.15
+        )
+        g = gr.SegGraph(
+            root=jnp.arange(s, dtype=jnp.int32),
+            point_num=jnp.array(counts, jnp.int32),
+            ins_label=jnp.array(ins),
+            sem_label=jnp.array(sem),
+            seg_valid=jnp.array(counts > 0),
+        )
+        real = ev.nonzero()[0]
+        ds = OracleDS(ins, sem, counts)
+        ds_out, conn_oracle = oracle_group_nearby(
+            ds, e_arr[real], dists[real], 5.0
+        )
+        g_out, conn = gr.group_nearby_clusters_sequential(
+            g, jnp.array(e_arr), jnp.array(ev), jnp.array(dists), 5.0
+        )
+        root = np.asarray(g_out.root)
+        valid_slots = np.where(counts > 0)[0]
+        assert canon(root, valid_slots) == canon(ds_out.root, valid_slots)
+        np.testing.assert_array_equal(np.asarray(conn)[real], conn_oracle)
+        # exported labels bit-identical (incl. surviving-root label values)
+        ins_ours = np.asarray(g_out.ins_label)[root]
+        ins_oracle = ds_out.ins[ds_out.root]
+        np.testing.assert_array_equal(ins_ours[valid_slots], ins_oracle[valid_slots])
+
+
+def test_parallel_equals_sequential_when_conflict_free(rng):
+    """With no label-conflict components the fast parallel engine must agree
+    with the bit-faithful default exactly, at scale."""
+    s, e_slots = 512, 4096
+    counts, ins, sem, e_arr, ev, dists = _multilabel_graph(
+        rng, s, e_slots, n_instances=24, conflict_frac=0.0
+    )
+    g = gr.SegGraph(
+        root=jnp.arange(s, dtype=jnp.int32),
+        point_num=jnp.array(counts, jnp.int32),
+        ins_label=jnp.array(ins),
+        sem_label=jnp.array(sem),
+        seg_valid=jnp.array(counts > 0),
+    )
+    args = (jnp.array(e_arr), jnp.array(ev), jnp.array(dists))
+    gp, _ = gr.group_nearby_clusters(g, *args, 5.0)
+    gs, _ = gr.group_nearby_clusters_sequential(g, *args, 5.0)
+    valid_slots = np.where(counts > 0)[0]
+    rp, rs = np.asarray(gp.root), np.asarray(gs.root)
+    assert canon(rp, valid_slots) == canon(rs, valid_slots)
+    np.testing.assert_array_equal(
+        np.asarray(gp.ins_label)[rp][valid_slots],
+        np.asarray(gs.ins_label)[rs][valid_slots],
+    )
+
+
 def test_label_conflict_guard():
     # two labeled segments with different instances must never merge
     point2seg = jnp.array([0] * 10 + [1] * 10, dtype=jnp.int32)

@@ -94,6 +94,7 @@ def main():
                       + (f"  ({dropped} pts over capacity excluded)"
                          if dropped else ""))
     else:
+        from seggroup_tpu.data.potentials import PotentialSampler
         from seggroup_tpu.models.kpconv import KPFCNN, build_pyramid
 
         n_cap = args.point_cap
@@ -119,8 +120,16 @@ def main():
                                                   source.names[i], False)
             probs = np.zeros((len(c), args.num_classes), np.float32)
             counts = np.zeros(len(c), np.int32)
-            for _v in range(args.votes):
-                center = c[rng.integers(0, len(c))]
+            # min-potential centers until every point is voted `votes` times
+            # (reference tester.py:788,990 loops until
+            # min(min_potentials) > num_votes) — guarantees 100% coverage,
+            # unlike random centers
+            sampler = PotentialSampler([c], in_radius=args.in_radius, seed=0)
+            max_spheres = args.votes * 64
+            for _v in range(max_spheres):
+                if sampler.min_potential() >= args.votes:
+                    break
+                _, center = sampler.next_center()
                 sel = np.where(((c - center) ** 2).sum(1) < args.in_radius ** 2)[0]
                 if len(sel) > n_cap:
                     sel = sel[rng.permutation(len(sel))[:n_cap]]

@@ -36,13 +36,24 @@ def main():
     p.add_argument("--offset_loss_weight", type=float, default=0.1)
     p.add_argument("--save_freq", type=int, default=2000)
     p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--calib_batches", type=int, default=4,
+                   help="batches probed for neighbor-cap calibration")
+    p.add_argument("--keep_ratio", type=float, default=0.8,
+                   help="calibration quantile (reference common.py:561)")
+    p.add_argument("--grad_clip_norm", type=float, default=100.0,
+                   help="per-variable gradient clip (reference trainer.py:125)")
+    p.add_argument("--offset_lr_scale", type=float, default=0.1,
+                   help="LR scale on deformable offset convs "
+                        "(reference trainer.py:119-152)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     import optax
 
-    from seggroup_tpu.models.kpconv import KPFCNN, build_pyramid
+    from seggroup_tpu.data.potentials import PotentialSampler
+    from seggroup_tpu.models.kpconv import (KPFCNN, build_pyramid,
+                                            calibrate_neighbor_caps)
     from seggroup_tpu.solvers import make_schedule
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
@@ -54,23 +65,29 @@ def main():
     n_cap = args.point_cap
     caps = [n_cap // 2, n_cap // 4, n_cap // 8, n_cap // 16]
 
-    # potential-based spatially-regular sphere sampling (reference
-    # Scannet.py:701-819): track a per-scene visit potential and sample the
-    # least-visited scene; within it, a random center biased to low density
-    potentials = np.zeros(len(source))
+    # load all scenes once (the reference also holds clouds in RAM,
+    # Scannet.py:304-423)
+    scenes = []
+    for si in range(len(source)):
+        scene, extras = source.get(si)
+        scenes.append(scene_to_training_tuple(
+            scene, extras, args.pseudo_root, source.names[si],
+            args.pseudo_root is not None))
 
-    def sample_batch(train=True):
-        """Pick spheres of in_radius from least-visited scenes."""
+    # per-point Tukey-potential sphere sampling (reference Scannet.py:701-819):
+    # centers are drawn at the global potential minimum, guaranteeing scene
+    # coverage — unlike random centers
+    def new_sampler(seed):
+        return PotentialSampler([c for c, _, _ in scenes],
+                                in_radius=args.in_radius, seed=seed)
+
+    def sample_batch(sampler):
+        """Pick in_radius spheres at the min-potential centers."""
         coords_l, feats_l, labels_l, batch_l = [], [], [], []
         total = 0
         for b in range(args.batch_size):
-            si = int(np.argmin(potentials + rng.random(len(source)) * 0.1))
-            potentials[si] += 1.0
-            scene, extras = source.get(si)
-            c, col, lab = scene_to_training_tuple(
-                scene, extras, args.pseudo_root, source.names[si],
-                args.pseudo_root is not None)
-            center = c[rng.integers(0, len(c))]
+            si, center = sampler.next_center()
+            c, col, lab = scenes[si]
             sel = np.where(((c - center) ** 2).sum(1) < args.in_radius ** 2)[0]
             if len(sel) > (n_cap - total):
                 sel = sel[rng.permutation(len(sel))[: n_cap - total]]
@@ -98,12 +115,26 @@ def main():
     model = KPFCNN(num_classes=args.num_classes,
                    first_features_dim=args.first_features_dim, dl0=args.dl0)
 
+    # neighbor-cap calibration from data histograms (reference
+    # calibrate_neighbors, common.py:551-656) — replaces hand-set constants
+    calib_sampler = new_sampler(args.seed + 1)
+    calib_batches = [sample_batch(calib_sampler)
+                     for _ in range(args.calib_batches)]
+    nbr_caps, over_rate = calibrate_neighbor_caps(
+        [(p, b, v) for p, f, l, b, v in calib_batches],
+        num_layers=5, dl0=args.dl0, keep_ratio=args.keep_ratio,
+        level_caps=caps)
+    io.cprint(f"calibrated neighbor caps: {nbr_caps} "
+              f"(probe overflow rate/level: "
+              + " ".join(f"{r:.3f}" for r in over_rate) + ")")
+    sampler = new_sampler(args.seed)
+
     @jax.jit
     def make_pyramid(pts, bids, valid):
         return build_pyramid(pts, bids, valid, num_layers=5, dl0=args.dl0,
-                             level_caps=caps)
+                             level_caps=caps, neighbor_cap=nbr_caps)
 
-    pts, feats, labs, bids, valid = sample_batch()
+    pts, feats, labs, bids, valid = sample_batch(sampler)
     pyr0 = make_pyramid(jnp.asarray(pts), jnp.asarray(bids), jnp.asarray(valid))
     variables = jax.jit(lambda r, py, f: model.init(r, py, f, train=True))(
         jax.random.PRNGKey(args.seed), pyr0, jnp.asarray(feats))
@@ -134,6 +165,17 @@ def main():
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        # reference trainer.py:119-152: 0.1x LR on deformable offset convs
+        # + independent per-variable gradient clipping
+        def per_var(path, g):
+            is_offset = any("offset_kernel" in str(getattr(k, "key", k))
+                            for k in path)
+            if is_offset:
+                g = g * args.offset_lr_scale
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-12)
+            return g * jnp.minimum(1.0, args.grad_clip_norm / norm)
+
+        grads = jax.tree_util.tree_map_with_path(per_var, grads)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         acc = jnp.sum((jnp.argmax(logits, -1) == labels) & (labels != 255)) \
@@ -142,7 +184,7 @@ def main():
 
     t0 = time.time()
     for it in range(1, args.steps + 1):
-        pts, feats, labs, bids, valid = sample_batch()
+        pts, feats, labs, bids, valid = sample_batch(sampler)
         pyr = make_pyramid(jnp.asarray(pts), jnp.asarray(bids),
                            jnp.asarray(valid))
         params, stats, opt_state, loss, acc = step(

@@ -141,15 +141,25 @@ def build_pyramid(
     num_layers: int,
     dl0: float,
     conv_radius: float = 2.5,
-    neighbor_cap: int = 32,
+    neighbor_cap: int | Sequence[int] = 32,
     level_caps: Sequence[int] | None = None,
+    bucket_cap: int = 16,
 ) -> list[PyramidLevel]:
     """The analog of tf_segmentation_inputs (reference common.py:1021-1158):
     per layer, within-level radius neighborhoods, 2x grid pooling (barycenter
     of each voxel cell, reference grid_subsampling.cpp:4-106), pooling
-    neighborhoods, and upsample assignment (= the fine point's voxel cell)."""
+    neighborhoods, and upsample assignment (= the fine point's voxel cell).
+
+    `neighbor_cap` may be a single int or one cap per layer — use
+    `calibrate_neighbor_caps` to set them from data histograms instead of
+    constants (the reference's calibrate_neighbors, common.py:551-656)."""
     from seggroup_tpu.ops.voxelize import voxelize
 
+    if isinstance(neighbor_cap, int):
+        nbr_caps = [neighbor_cap] * num_layers
+    else:
+        nbr_caps = list(neighbor_cap)
+        assert len(nbr_caps) == num_layers
     levels = []
     cur_p, cur_b, cur_v = points, batch, valid
     dl = dl0
@@ -159,7 +169,7 @@ def build_pyramid(
         r = dl * conv_radius
         nbrs, _, _ = ball_query_pair(
             cur_p, cur_b, cur_v, cur_p, cur_b, cur_v, r,
-            max_neighbors=neighbor_cap,
+            max_neighbors=nbr_caps[layer], bucket_cap=bucket_cap,
         )
         if layer + 1 < num_layers:
             cap = caps[layer]
@@ -171,17 +181,86 @@ def build_pyramid(
             nxt_v = vm.voxel_valid
             pools, _, _ = ball_query_pair(
                 cur_p, cur_b, cur_v, nxt_p, nxt_b, nxt_v, r,
-                max_neighbors=neighbor_cap,
+                max_neighbors=nbr_caps[layer], bucket_cap=bucket_cap,
             )
             ups = vm.point2voxel  # fine point -> coarse row
         else:
-            pools = jnp.zeros((1, neighbor_cap), jnp.int32)
+            pools = jnp.zeros((1, nbr_caps[layer]), jnp.int32)
             ups = jnp.zeros((cur_p.shape[0],), jnp.int32)
         levels.append(PyramidLevel(cur_p, cur_b, cur_v, nbrs, pools, ups))
         if layer + 1 < num_layers:
             cur_p, cur_b, cur_v = nxt_p, nxt_b, nxt_v
             dl *= 2
     return levels
+
+
+def calibrate_neighbor_caps(
+    sample_batches,
+    num_layers: int,
+    dl0: float,
+    conv_radius: float = 2.5,
+    keep_ratio: float = 0.8,
+    probe_cap: int = 192,
+    probe_bucket: int = 64,
+    level_caps: Sequence[int] | None = None,
+) -> tuple[list[int], list[float]]:
+    """Set per-level neighbor caps from data histograms (the reference's
+    calibrate_neighbors, common.py:551-656, keep_ratio 0.8): probe a few
+    sample batches with generous caps, take the per-level `keep_ratio`
+    quantile of true neighborhood sizes, and round up to the next multiple
+    of 8 (lane-friendly). Returns (caps, overflow_rate_at_probe) — a nonzero
+    probe overflow rate means even the probe caps truncated and the quantile
+    is a lower bound.
+
+    sample_batches: iterable of (points (N,3), batch_ids (N,), valid (N,))
+    numpy/jax arrays, all the same N (one compile)."""
+    from seggroup_tpu.ops.voxelize import voxelize
+
+    @jax.jit
+    def probe(pts, bids, valid):
+        counts_l, over_l = [], []
+        cur_p, cur_b, cur_v = pts, bids, valid
+        dl = dl0
+        n0 = pts.shape[0]
+        caps = level_caps or [max(256, n0 >> i) for i in range(1, num_layers + 1)]
+        for layer in range(num_layers):
+            r = dl * conv_radius
+            _, cnt, over = ball_query_pair(
+                cur_p, cur_b, cur_v, cur_p, cur_b, cur_v, r,
+                max_neighbors=probe_cap, bucket_cap=probe_bucket,
+            )
+            counts_l.append(jnp.where(cur_v, cnt, -1))
+            over_l.append(over & cur_v)
+            if layer + 1 < num_layers:
+                cap = caps[layer]
+                ic = jnp.floor(cur_p / (2 * dl)).astype(jnp.int32)
+                ic = ic - jnp.min(jnp.where(cur_v[:, None], ic, 2**30), axis=0)
+                vm = voxelize(ic, cur_b, cur_v, cap)
+                cur_p = segment_mean(cur_p, vm.point2voxel, cap)
+                cur_b = vm.voxel_coords[:, 0]
+                cur_v = vm.voxel_valid
+                dl *= 2
+        return counts_l, over_l
+
+    all_counts = [[] for _ in range(num_layers)]
+    over_n = np.zeros(num_layers)
+    over_d = np.zeros(num_layers)
+    for pts, bids, valid in sample_batches:
+        counts_l, over_l = probe(jnp.asarray(pts), jnp.asarray(bids),
+                                 jnp.asarray(valid))
+        for lv in range(num_layers):
+            c = np.asarray(counts_l[lv])
+            all_counts[lv].append(c[c >= 0])
+            o = np.asarray(over_l[lv])
+            over_n[lv] += o.sum()
+            over_d[lv] += max((c >= 0).sum(), 1)
+    caps_out, over_rate = [], []
+    for lv in range(num_layers):
+        c = np.concatenate(all_counts[lv]) if all_counts[lv] else np.array([1])
+        q = int(np.quantile(c, keep_ratio)) if len(c) else 8
+        caps_out.append(int(min(max(8, -(-q // 8) * 8), probe_cap)))
+        over_rate.append(float(over_n[lv] / max(over_d[lv], 1)))
+    return caps_out, over_rate
 
 
 # ---------------------------------------------------------------------------

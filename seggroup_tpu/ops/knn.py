@@ -15,7 +15,10 @@ Replaces three reference native/GPU paths:
     hash (sort by cell key + searchsorted) with a static 27-cell candidate
     stencil instead of an atomic-append CUDA kernel. Neighbor counts are capped
     at a static K (the reference caps at 1000 and retries on overflow,
-    pointgroup_ops.py:135-142; we keep a fixed cap and report overflow).
+    pointgroup_ops.py:135-142; we keep a fixed cap and report overflow — the
+    flag covers both K-slot truncation and stencil cells denser than
+    bucket_cap, so callers can calibrate caps from data like the reference's
+    calibrate_neighbors, kpconv/datasets/common.py:551-656).
 """
 
 from __future__ import annotations
@@ -214,14 +217,19 @@ def ball_query_pair(
         nb_cells = q_cells + off[None, :]
         nb_key = _cell_key(nb_cells, dims) + query_batch.astype(jnp.int32) * span
         start = jnp.searchsorted(s_key_sorted, nb_key, side="left")
+        stop = jnp.searchsorted(s_key_sorted, nb_key, side="right")
         slots = jnp.minimum(start[:, None] + jnp.arange(bucket_cap)[None, :],
                             ns - 1)
         ok = s_key_sorted[slots] == nb_key[:, None]
-        return order[slots], ok
+        # true cell occupancy: candidates beyond bucket_cap are never gathered
+        # and must still trip the overflow flag (they may be in-radius)
+        missed = (stop - start) > bucket_cap
+        return order[slots], ok, missed
 
-    cand_idx, cand_ok = jax.vmap(gather_cell)(offsets)
+    cand_idx, cand_ok, cand_missed = jax.vmap(gather_cell)(offsets)
     cand_idx = jnp.moveaxis(cand_idx, 0, 1).reshape(nq, 27 * bucket_cap)
     cand_ok = jnp.moveaxis(cand_ok, 0, 1).reshape(nq, 27 * bucket_cap)
+    bucket_overflow = jnp.any(cand_missed, axis=0) & query_valid
 
     d = jnp.sum((queries[:, None, :] - support[cand_idx]) ** 2, axis=-1)
     in_ball = (cand_ok & (d <= radius * radius) & query_valid[:, None]
@@ -233,7 +241,7 @@ def ball_query_pair(
     got = neg_d > -big
     counts = jnp.sum(got, axis=1).astype(jnp.int32)
     nbrs = jnp.where(got, nbrs, jnp.int32(ns))  # shadow index
-    overflow = jnp.sum(in_ball, axis=1).astype(jnp.int32) > K
+    overflow = (jnp.sum(in_ball, axis=1).astype(jnp.int32) > K) | bucket_overflow
     return nbrs, counts, overflow
 
 
@@ -295,15 +303,20 @@ def ball_query(
             dims[0] * dims[1] * dims[2]
         )
         start = jnp.searchsorted(s_key, nb_key, side="left")
+        stop = jnp.searchsorted(s_key, nb_key, side="right")
         # up to bucket_cap members of that cell
         slots = start[:, None] + jnp.arange(bucket_cap)[None, :]
         slots = jnp.minimum(slots, N - 1)
         ok = s_key[slots] == nb_key[:, None]
-        return order[slots], ok  # (N, bucket_cap) each
+        # true cell occupancy so candidates beyond bucket_cap (never gathered,
+        # possibly in-radius) still trip the overflow flag
+        missed = (stop - start) > bucket_cap
+        return order[slots], ok, missed  # (N, bucket_cap), (N, cap), (N,)
 
-    cand_idx, cand_ok = jax.vmap(gather_cell)(offsets)  # (27, N, cap)
+    cand_idx, cand_ok, cand_missed = jax.vmap(gather_cell)(offsets)  # (27, ...)
     cand_idx = jnp.moveaxis(cand_idx, 0, 1).reshape(N, 27 * bucket_cap)
     cand_ok = jnp.moveaxis(cand_ok, 0, 1).reshape(N, 27 * bucket_cap)
+    bucket_overflow = jnp.any(cand_missed, axis=0) & valid
 
     d = jnp.sum((coords[:, None, :] - coords[cand_idx]) ** 2, axis=-1)
     in_ball = cand_ok & (d <= radius * radius) & valid[:, None] & valid[cand_idx]
@@ -316,7 +329,8 @@ def ball_query(
     counts = jnp.sum(got, axis=1).astype(jnp.int32)
     self_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
     nbrs = jnp.where(got, nbrs, self_idx)
-    # overflow: more in-radius candidates existed than K slots
+    # overflow: more in-radius candidates existed than K slots, or a stencil
+    # cell held more candidates than bucket_cap could gather
     total_in_ball = jnp.sum(in_ball, axis=1).astype(jnp.int32)
-    overflow = total_in_ball > K
+    overflow = (total_in_ball > K) | bucket_overflow
     return nbrs, counts, overflow

@@ -99,3 +99,35 @@ def test_ball_query(rng):
         got = set(nbrs[i, : counts[i]])
         assert got == want, f"point {i}: {got} vs {want}"
         assert i in got  # self included (reference bfs_cluster.cu:40-44)
+
+
+def test_ball_query_bucket_overflow_flagged(rng):
+    """A grid cell denser than bucket_cap must trip the overflow flag even
+    when max_neighbors has free slots (ADVICE r1: uncounted dense-cell drops
+    were invisible to callers)."""
+    n = 64
+    # 40 points crammed into one tiny blob (one grid cell at r=0.5),
+    # the rest far away
+    pts = np.zeros((n, 3), np.float32)
+    pts[:40] = rng.random(size=(40, 3)).astype(np.float32) * 0.05
+    pts[40:] = 100.0 + rng.random(size=(n - 40, 3)).astype(np.float32) * 10
+    nbrs, counts, overflow = ball_query(
+        jnp.array(pts), 0.5, jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+        max_neighbors=64, bucket_cap=8,
+    )
+    overflow = np.asarray(overflow)
+    counts = np.asarray(counts)
+    # dense-blob points: candidates were dropped at the bucket level
+    # (counts < 40 in-radius points) and the flag must say so
+    assert overflow[:40].all()
+    assert (counts[:40] < 40).all()
+    # far sparse points see no overflow
+    assert not overflow[40:].any()
+
+    # with a big enough bucket_cap the same query is exact and un-flagged
+    nbrs2, counts2, overflow2 = ball_query(
+        jnp.array(pts), 0.5, jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+        max_neighbors=64, bucket_cap=64,
+    )
+    assert not np.asarray(overflow2)[:40].any()
+    assert (np.asarray(counts2)[:40] == 40).all()

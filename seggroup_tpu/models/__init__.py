@@ -41,5 +41,20 @@ def _register_lazy():
     for name in RESNET_VARIANTS:
         _REGISTRY[name] = (lambda v: lambda **kw: make_sparse_resnet(v, **kw))(name)
 
+    # CRF-wrapped backbones (reference wrapper_type=BilateralCRF,
+    # minkowski/models/__init__.py:46-57 + conditional_random_fields.py)
+    from seggroup_tpu.models.crf import CRFWrapped
+
+    def _make_crf(variant):
+        def f(out_channels: int = 20, **kw):
+            return CRFWrapped(
+                backbone=make_minkunet(variant, out_channels=out_channels, **kw),
+                num_classes=out_channels,
+            )
+        return f
+
+    for name in VARIANTS:
+        _REGISTRY[f"BilateralCRF-{name}"] = _make_crf(name)
+
 
 _register_lazy()

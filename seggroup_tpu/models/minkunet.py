@@ -107,8 +107,46 @@ class BasicBlock(nn.Module):
         return st.with_feats(nn.relu(h + identity))
 
 
+class Bottleneck(nn.Module):
+    """1x1(planes) -> 3x3 subm(planes) -> 1x1(planes*4) + residual (reference
+    minkowski/models/modules/resnet_block.py:70-121, expansion 4). The 1x1
+    sparse convs are Dense over voxel rows (a kernel-1 submanifold conv
+    touches only the center site)."""
+
+    planes: int
+    bn_momentum: float = 0.02
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, rulebook: jax.Array, train: bool,
+                 windows: dict | None = None) -> SparseTensor:
+        e = self.expansion
+        identity = st.feats
+        h = nn.Dense(self.planes, use_bias=False, name="conv1")(st.feats)
+        h = SparseBatchNorm(self.bn_momentum, name="norm1")(h, st.valid, train)
+        h = nn.relu(h)
+        h = SubMConv(self.planes, name="conv2")(st.with_feats(h), rulebook, windows)
+        h = SparseBatchNorm(self.bn_momentum, name="norm2")(h, st.valid, train)
+        h = nn.relu(h)
+        h = nn.Dense(self.planes * e, use_bias=False, name="conv3")(h)
+        h = SparseBatchNorm(self.bn_momentum, name="norm3")(h, st.valid, train)
+        if identity.shape[-1] != self.planes * e:
+            identity = nn.Dense(self.planes * e, use_bias=False,
+                                name="downsample")(identity)
+            identity = SparseBatchNorm(self.bn_momentum, name="downsample_norm")(
+                identity, st.valid, train
+            )
+        return st.with_feats(nn.relu(h + identity))
+
+
 class MinkUNet(nn.Module):
-    """Res16UNet over SparseTensor. Variants select PLANES/LAYERS."""
+    """Res16UNet over SparseTensor. Variants select PLANES/LAYERS/block.
+
+    With block='bottleneck' (Res16UNet50/101, reference res16unet.py:270-278)
+    every residual group outputs planes*4 channels; the final head reads the
+    true block8 width (the reference's `final` layer declares PLANES[7] inputs,
+    which cannot run under MinkowskiEngine for expansion 4 — we use the
+    actual width)."""
 
     out_channels: int = 20
     planes: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)  # 34C
@@ -116,6 +154,7 @@ class MinkUNet(nn.Module):
     init_dim: int = 32
     conv1_kernel_size: int = 3
     bn_momentum: float = 0.02
+    block: str = "basic"  # 'basic' | 'bottleneck'
     level_caps: Sequence[int] | None = None  # per-level capacity (len 5)
 
     @nn.compact
@@ -130,13 +169,15 @@ class MinkUNet(nn.Module):
         ]
         bm = self.bn_momentum
 
+        block_cls = {"basic": BasicBlock, "bottleneck": Bottleneck}[self.block]
+
         def blocks(st, n, planes, rb, name, train, lvl):
             win = None
             if plan is not None and "windows" in plan:
                 win = plan["windows"][lvl]
             for i in range(n):
-                st = BasicBlock(planes, bm, name=f"{name}_{i}")(st, rb, train,
-                                                                win)
+                st = block_cls(planes, bm, name=f"{name}_{i}")(st, rb, train,
+                                                               win)
             return st
 
         def down(st, cin, name):
@@ -231,6 +272,14 @@ VARIANTS = {
     "Res16UNet34A": dict(layers=(2, 3, 4, 6, 2, 2, 2, 2), planes=(32, 64, 128, 256, 256, 128, 64, 64)),
     "Res16UNet34B": dict(layers=(2, 3, 4, 6, 2, 2, 2, 2), planes=(32, 64, 128, 256, 256, 128, 64, 32)),
     "Res16UNet34C": dict(layers=(2, 3, 4, 6, 2, 2, 2, 2), planes=(32, 64, 128, 256, 256, 128, 96, 96)),
+    # Bottleneck variants (reference res16unet.py:270-278; PLANES from the
+    # Res16UNetBase default, res16unet.py:11)
+    "Res16UNet50": dict(layers=(2, 3, 4, 6, 2, 2, 2, 2),
+                        planes=(32, 64, 128, 256, 256, 256, 256, 256),
+                        block="bottleneck"),
+    "Res16UNet101": dict(layers=(2, 3, 4, 23, 2, 2, 2, 2),
+                         planes=(32, 64, 128, 256, 256, 256, 256, 256),
+                         block="bottleneck"),
 }
 
 
@@ -238,4 +287,5 @@ def make_minkunet(variant: str = "Res16UNet34C", out_channels: int = 20,
                   **kwargs) -> MinkUNet:
     cfg = VARIANTS[variant]
     return MinkUNet(out_channels=out_channels, planes=cfg["planes"],
-                    layers=cfg["layers"], **kwargs)
+                    layers=cfg["layers"], block=cfg.get("block", "basic"),
+                    **kwargs)

@@ -87,3 +87,38 @@ def test_train_step_grads(rng):
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
     assert gnorm > 0
+
+
+def test_res16unet50_bottleneck_forward_and_grads(rng):
+    """Bottleneck variants (reference res16unet.py:270-278): forward is
+    finite/masked and grads flow through all three convs of a bottleneck."""
+    st = make_sparse_input(rng, m_cap=128, n=80)
+    model = make_minkunet("Res16UNet50", out_channels=8,
+                          level_caps=[128, 128, 64, 32, 32])
+    variables = model.init(jax.random.PRNGKey(0), st, train=False)
+    params = variables["params"]
+    # expansion-4 bookkeeping: block1 bottleneck conv3 widens to planes*4
+    b1 = params["block1_0"]
+    assert b1["conv3"]["kernel"].shape[-1] == 32 * 4
+    logits = model.apply(variables, st, train=False)
+    logits = np.asarray(logits)
+    assert np.isfinite(logits[:80]).all()
+    assert (logits[80:] == 0).all()
+
+    def loss(p):
+        out, _ = model.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                             st, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    gnorms = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(gnorms))
+    assert sum(g > 0 for g in gnorms) > len(gnorms) * 0.8
+
+
+def test_res16unet101_registry():
+    from seggroup_tpu.models import get_model
+
+    m = get_model("Res16UNet101", out_channels=20)
+    assert m.block == "bottleneck"
+    assert m.layers[3] == 23

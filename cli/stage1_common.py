@@ -48,6 +48,10 @@ def add_common_args(p):
                    help="use N synthetic scenes instead of prepared ScanNet")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write tensorboard scalars next to the run log "
+                        "(reference tensorboardX sites: pointgroup/"
+                        "train.py:29-30, minkowski lib/train.py:35)")
     p.add_argument("--parallel_grouping", action="store_true",
                    help="use the parallel-rounds merge engine instead of "
                         "the bit-faithful sequential emulation (faster, "

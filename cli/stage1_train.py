@@ -36,6 +36,9 @@ def main():
     args = p.parse_args()
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "run.log"))
+    from seggroup_tpu.utils.tb import ScalarWriter
+    tb = ScalarWriter(os.path.join("checkpoints", args.exp_name, "tb"),
+                      enabled=args.tensorboard)
     dump_config(args, "stage1_train")
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
@@ -114,6 +117,9 @@ def main():
                    100 * acc_all[1] / nstep, 100 * acc_all[0] / nstep,
                    (time.time() - t0) / nstep)
             )
+        tb.add_scalar("train/loss", train_loss / max(nstep, 1), epoch + 1)
+        tb.add_scalar("train/sem_miou", 100 * miou_s, epoch + 1)
+        tb.add_scalar("train/ins_miou", 100 * miou_i, epoch + 1)
         ckpt.save(epoch + 1, {
             "params": jax.device_get(params),
             "opt_state": jax.device_get(opt_state),

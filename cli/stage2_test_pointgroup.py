@@ -29,6 +29,11 @@ def main():
     p.add_argument("--npoint_thresh", type=int, default=100)
     p.add_argument("--nms_thresh", type=float, default=0.3)
     p.add_argument("--m", type=int, default=16)
+    p.add_argument("--dump_dir", type=str, default=None,
+                   help="write ScanNet-benchmark instance outputs: per scene "
+                        "a <scene>.txt proposal list + predicted_masks/ 0/1 "
+                        "mask files, plus semantic/<scene>.txt nyu40 preds "
+                        "(reference pointgroup/test.py:130-159)")
     args = p.parse_args()
 
     import jax
@@ -118,6 +123,26 @@ def main():
             masks = np.zeros((0, len(hb.valid)), bool)
             labels = np.zeros(0, np.int64)
             confs = np.zeros(0)
+
+        if args.dump_dir:
+            # benchmark-format dumps (reference test.py:130-159): proposal
+            # list + one 0/1 mask file per kept proposal + semantic preds
+            name = source.names[i]
+            mask_dir = os.path.join(args.dump_dir, "instance",
+                                    "predicted_masks")
+            os.makedirs(mask_dir, exist_ok=True)
+            os.makedirs(os.path.join(args.dump_dir, "semantic"), exist_ok=True)
+            lines = []
+            for pid in range(len(confs)):
+                rel = f"predicted_masks/{name}_{pid:03d}.txt"
+                lines.append(f"{rel} {labels[pid]} {confs[pid]:.4f}")
+                np.savetxt(os.path.join(mask_dir, f"{name}_{pid:03d}.txt"),
+                           masks[pid][: n].astype(np.int8), fmt="%d")
+            with open(os.path.join(args.dump_dir, "instance",
+                                   f"{name}.txt"), "w") as f:
+                f.write("\n".join(lines))
+            np.savetxt(os.path.join(args.dump_dir, "semantic", f"{name}.txt"),
+                       np.array(VALID_CLASS_IDS)[sem20[: n]], fmt="%d")
 
         # GT ids = sem*1000 + instance index (benchmark encoding)
         inst = np.asarray(hb.instance_labels)

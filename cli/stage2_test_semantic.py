@@ -18,7 +18,8 @@ import os
 import numpy as np
 
 from cli.stage1_common import SceneSource, add_common_args
-from cli.stage2_train_minkunet import NYU40_TO_20, scene_to_training_tuple
+from cli.stage2_train_minkunet import (NYU40_TO_20, VALID_CLASS_IDS,
+                                       scene_to_training_tuple)
 from seggroup_tpu.utils.logging import IOStream, CLASS_NAMES_20
 
 
@@ -36,18 +37,35 @@ def main():
     p.add_argument("--in_radius", type=float, default=2.0)
     p.add_argument("--votes", type=int, default=3)
     p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--dump_dir", type=str, default=None,
+                   help="write per-scene nyu40 prediction .txt files "
+                        "(reference lib/test.py:120-160 save_predictions "
+                        "/ pointgroup test.py:132-137 save_semantic)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from seggroup_tpu.eval.semantic import miou_from_confusion
+    from seggroup_tpu.eval.semantic import average_precision, miou_from_confusion
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
     io = IOStream(os.path.join("checkpoints", args.exp_name,
                                f"{args.model}_test.log"))
     source = SceneSource(args)
     hist = np.zeros((args.num_classes, args.num_classes), np.int64)
+    ap_rows = []  # per-scene per-class AP, nanmean'd like reference test.py:143
+    nyu40_of = np.array(VALID_CLASS_IDS, np.int64)
+
+    def dump_and_score(name, probs_pts, lab_pts, ok):
+        """Shared tail per scene: per-class AP row + optional prediction dump."""
+        if ok.any():
+            ap_rows.append(average_precision(probs_pts[ok], lab_pts[ok],
+                                             args.num_classes, ignore=255))
+        if args.dump_dir:
+            os.makedirs(args.dump_dir, exist_ok=True)
+            pred20 = probs_pts.argmax(1)
+            np.savetxt(os.path.join(args.dump_dir, f"{name}.txt"),
+                       nyu40_of[pred20], fmt="%d")
 
     if args.model == "minkunet":
         from seggroup_tpu.data.voxel_dataset import make_voxel_batch
@@ -90,6 +108,10 @@ def main():
             dropped = int((p2v < 0).sum())
             pred_pts = vox_pred[np.where(p2v >= 0, p2v, 0)]
             np.add.at(hist, (lab_pts[ok], pred_pts[ok]), 1)
+            sm = np.exp(logits - logits.max(1, keepdims=True))
+            sm /= sm.sum(1, keepdims=True)
+            probs_pts = sm[np.where(p2v >= 0, p2v, 0)]
+            dump_and_score(source.names[i], probs_pts, lab_pts, ok)
             io.cprint(f"[{i+1}/{len(source)}] {source.names[i]}"
                       + (f"  ({dropped} pts over capacity excluded)"
                          if dropped else ""))
@@ -164,13 +186,21 @@ def main():
             pred = probs.argmax(1)
             ok = (lab != 255) & (counts > 0)
             np.add.at(hist, (lab[ok], pred[ok]), 1)
+            dump_and_score(source.names[i], probs, lab, ok)
             io.cprint(f"[{i+1}/{len(source)}] {source.names[i]} "
                       f"(coverage {100*np.mean(counts>0):.0f}%)")
 
     miou, per_class = miou_from_confusion(hist)
-    io.cprint("mIoU: %.2f%%" % (100 * miou))
-    for name, iou in zip(CLASS_NAMES_20, per_class):
-        io.cprint("  %-16s %.2f%%" % (name, 100 * iou))
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        ap_class = (np.nanmean(np.stack(ap_rows), 0) if ap_rows
+                    else np.full(args.num_classes, np.nan))
+    io.cprint("mIoU: %.2f%%  mAP: %.2f%%"
+              % (100 * miou, 100 * np.nanmean(ap_class)))
+    io.cprint("  %-16s %8s %8s" % ("class", "IoU", "AP"))
+    for name, iou, ap in zip(CLASS_NAMES_20, per_class, ap_class):
+        io.cprint("  %-16s %7.2f%% %7.2f%%" % (name, 100 * iou, 100 * ap))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,9 @@ def main():
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "kpconv.log"))
+    from seggroup_tpu.utils.tb import ScalarWriter
+    tb = ScalarWriter(os.path.join("checkpoints", args.exp_name, "tb"),
+                      enabled=args.tensorboard)
     dump_config(args, "stage2_kpconv")
     source = SceneSource(args)
     io.cprint(f"scenes: {len(source)}")
@@ -194,6 +197,8 @@ def main():
             io.cprint("step %d/%d  loss %.4f  acc %.2f%%  (%.2fs/it)"
                       % (it, args.steps, float(loss), 100 * float(acc),
                          (time.time() - t0) / it))
+            tb.add_scalar("train/loss", float(loss), it)
+            tb.add_scalar("train/acc", 100 * float(acc), it)
         if should_stop(args.exp_name):
             io.cprint('STOP file found — saving and exiting')
             ckpt.save(it, {"params": jax.device_get(params),

@@ -87,8 +87,11 @@ def main():
     from seggroup_tpu.sparse.tensor import SparseTensor
     from seggroup_tpu.utils.checkpoint import CheckpointManager
     from seggroup_tpu.utils.prefetch import HostPrefetcher
+    from seggroup_tpu.utils.tb import ScalarWriter
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "minkunet.log"))
+    tb = ScalarWriter(os.path.join("checkpoints", args.exp_name, "tb"),
+                      enabled=args.tensorboard)
     dump_config(args, "stage2_minkunet")
     source = SceneSource(args)
     n_val = int(len(source) * args.val_frac)
@@ -200,6 +203,9 @@ def main():
                     % (it, args.max_iter, float(loss), 100 * miou,
                        schedule(it),
                        (time.time() - t_window) / max(1, it - it_window)))
+                tb.add_scalar("train/loss", float(loss), it)
+                tb.add_scalar("train/miou", 100 * miou, it)
+                tb.add_scalar("train/lr", float(schedule(it)), it)
                 t_window = time.time()
                 it_window = it
             if should_stop(args.exp_name):
@@ -219,10 +225,12 @@ def main():
                     marker = "  (new best)"
                 io.cprint(f"==> saved iter {it}  val mIoU "
                           f"{100*val_miou:.2f}%{marker}")
+                tb.add_scalar("val/miou", 100 * val_miou, it)
                 t_window = time.time()
                 it_window = it
     finally:
         prefetch.close()
+        tb.close()
 
 
 if __name__ == "__main__":

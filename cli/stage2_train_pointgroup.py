@@ -56,6 +56,9 @@ def main():
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "pointgroup.log"))
+    from seggroup_tpu.utils.tb import ScalarWriter
+    tb = ScalarWriter(os.path.join("checkpoints", args.exp_name, "tb"),
+                      enabled=args.tensorboard)
     dump_config(args, "stage2_pointgroup")
     source = SceneSource(args)
     n_val = int(len(source) * args.val_frac)
@@ -190,6 +193,9 @@ def main():
             io.cprint("step %d/%d  loss %.4f  %s  (%.2fs/it)"
                       % (it, args.steps, float(loss), parts,
                          (time.time() - t0) / it))
+            tb.add_scalar("train/loss", float(loss), it)
+            for k, v in aux.items():
+                tb.add_scalar(f"train/{k}", float(v), it)
         if should_stop(args.exp_name):
             io.cprint('STOP file found — saving and exiting')
             ckpt.save(it, {"params": jax.device_get(params),
@@ -206,6 +212,7 @@ def main():
                                     "batch_stats": jax.device_get(stats)})
                 marker = "  (new best)"
             io.cprint(f"==> saved step {it}  val loss {vl:.4f}{marker}")
+            tb.add_scalar("val/loss", float(vl), it)
 
 
 if __name__ == "__main__":

@@ -28,3 +28,21 @@ def miou_from_confusion(hist: np.ndarray) -> tuple[float, np.ndarray]:
     with np.errstate(invalid="ignore", divide="ignore"):
         iou = np.where(union > 0, inter / union, np.nan)
     return float(np.nanmean(iou)), iou
+
+
+def average_precision(probs: np.ndarray, labels: np.ndarray,
+                      num_classes: int, ignore: int = 255) -> np.ndarray:
+    """Per-class average precision from softmax probs (reference
+    minkowski/lib/utils.py average_precision via sklearn, used at
+    lib/test.py:139-143). Classes absent from `labels` yield NaN so callers
+    can nanmean across scenes like the reference's `np.nanmean(aps, 0)`."""
+    from sklearn.metrics import average_precision_score
+
+    ok = (labels != ignore) & (labels >= 0) & (labels < num_classes)
+    probs, labels = probs[ok], labels[ok]
+    out = np.full(num_classes, np.nan)
+    for c in range(num_classes):
+        pos = labels == c
+        if pos.any():
+            out[c] = average_precision_score(pos, probs[:, c])
+    return out

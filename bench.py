@@ -24,7 +24,7 @@ N_EDGES = 4096
 N_SCENES = 4
 
 
-def tpu_points_per_sec():
+def tpu_points_per_sec(sequential: bool = True):
     import jax
 
     from seggroup_tpu.data.synthetic import make_synthetic_scene
@@ -41,7 +41,7 @@ def tpu_points_per_sec():
         for i in range(N_SCENES)
     ]
     jax.block_until_ready(scenes)
-    model = SegGroupGNN(cluster_cap=1024)
+    model = SegGroupGNN(cluster_cap=1024, sequential=sequential)
     # jit the init: eager init dispatches hundreds of tiny remote ops through
     # the axon tunnel (~minutes); one compiled program instead
     variables = jax.jit(
@@ -318,7 +318,8 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
 
 
 def main():
-    tpu_pps, tpu_dt = tpu_points_per_sec()
+    tpu_pps, tpu_dt = tpu_points_per_sec()            # default: bit-faithful
+    par_pps, par_dt = tpu_points_per_sec(sequential=False)
     base_pps, base_dt = baseline_points_per_sec()
     s2_device, s2_pipe = stage2_minkunet_s_per_iter()
     s2_big = stage2_device_step()
@@ -332,6 +333,9 @@ def main():
                 "vs_baseline": round(tpu_pps / base_pps, 2),
                 "detail": {
                     "tpu_s_per_scene": round(tpu_dt, 3),
+                    "grouping_mode": "sequential (bit-faithful default)",
+                    "tpu_s_per_scene_parallel_grouping": round(par_dt, 3),
+                    "parallel_grouping_points_per_sec": round(par_pps, 1),
                     "cpu_reference_emulation_s_per_scene": round(base_dt, 3),
                     "scene": {"points": N_POINTS, "segments": N_SLOTS,
                               "edges": N_EDGES},

@@ -35,6 +35,11 @@ def main():
                    help="reference: 500 epochs x 600 steps")
     p.add_argument("--offset_loss_weight", type=float, default=0.1)
     p.add_argument("--save_freq", type=int, default=2000)
+    p.add_argument("--val_frac", type=float, default=0.1,
+                   help="fraction of scenes held out for validation "
+                        "(reference validates per epoch, trainer.py:331+)")
+    p.add_argument("--val_spheres", type=int, default=8,
+                   help="vote spheres per validation pass")
     p.add_argument("--num_classes", type=int, default=20)
     p.add_argument("--calib_batches", type=int, default=4,
                    help="batches probed for neighbor-cap calibration")
@@ -76,6 +81,14 @@ def main():
         scenes.append(scene_to_training_tuple(
             scene, extras, args.pseudo_root, source.names[si],
             args.pseudo_root is not None))
+
+    n_val = int(len(scenes) * args.val_frac)
+    if args.val_frac > 0 and n_val == 0 and len(scenes) > 1:
+        n_val = 1
+    val_scenes = scenes[len(scenes) - n_val:]
+    train_scenes = scenes[: len(scenes) - n_val] or val_scenes
+    scenes = train_scenes
+    io.cprint(f"scenes: {len(train_scenes)} train / {len(val_scenes)} val")
 
     # per-point Tukey-potential sphere sampling (reference Scannet.py:701-819):
     # centers are drawn at the global potential minimum, guaranteeing scene
@@ -151,6 +164,8 @@ def main():
     opt_state = opt.init(params)
     ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
                                           "kpconv"))
+    best_ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
+                                               "kpconv_best"))
 
     @jax.jit
     def step(params, stats, opt_state, pyr, feats, labels):
@@ -185,6 +200,56 @@ def main():
             / jnp.maximum(jnp.sum(labels != 255), 1)
         return params, new_stats, opt_state, loss, acc
 
+    @jax.jit
+    def infer(params, stats, pts, bids, valid, feats):
+        pyr = build_pyramid(pts, bids, valid, num_layers=5, dl0=args.dl0,
+                            level_caps=caps, neighbor_cap=nbr_caps)
+        logits, _ = model.apply({"params": params, "batch_stats": stats},
+                                pyr, feats, train=False)
+        return logits
+
+    def validate(params, stats):
+        """Vote-smoothed held-out accuracy (tester EMA semantics,
+        reference utils/tester.py:742): potential-centered spheres over the
+        val scenes, EMA-accumulated probs, point accuracy on voted points."""
+        if not val_scenes:
+            return float("nan")
+        vs = PotentialSampler([c for c, _, _ in val_scenes],
+                              in_radius=args.in_radius, seed=7)
+        probs = [np.zeros((len(c), args.num_classes), np.float32)
+                 for c, _, _ in val_scenes]
+        voted = [np.zeros(len(c), bool) for c, _, _ in val_scenes]
+        vrng = np.random.default_rng(7)
+        for _ in range(args.val_spheres):
+            si, center = vs.next_center()
+            c, col, lab = val_scenes[si]
+            sel = np.where(((c - center) ** 2).sum(1)
+                           < args.in_radius ** 2)[0]
+            if len(sel) > n_cap:
+                sel = sel[vrng.permutation(len(sel))[:n_cap]]
+            if not len(sel):
+                continue
+            pts = np.zeros((n_cap, 3), np.float32)
+            feats = np.ones((n_cap, 4), np.float32)
+            pts[: len(sel)] = c[sel]
+            feats[: len(sel), 1:] = col[sel] / 255.0
+            vmask = np.zeros(n_cap, bool); vmask[: len(sel)] = True
+            logits = np.asarray(infer(
+                params, stats, jnp.asarray(pts),
+                jnp.zeros(n_cap, jnp.int32), jnp.asarray(vmask),
+                jnp.asarray(feats)))[: len(sel)]
+            sm = np.exp(logits - logits.max(1, keepdims=True))
+            sm /= sm.sum(1, keepdims=True)
+            probs[si][sel] = 0.95 * probs[si][sel] + 0.05 * sm
+            voted[si][sel] = True
+        hits = tot = 0
+        for (c, col, lab), pr, vt in zip(val_scenes, probs, voted):
+            ok = vt & (lab != 255)
+            hits += int((pr.argmax(1)[ok] == lab[ok]).sum())
+            tot += int(ok.sum())
+        return hits / max(tot, 1)
+
+    best_val = -1.0
     t0 = time.time()
     for it in range(1, args.steps + 1):
         pts, feats, labs, bids, valid = sample_batch(sampler)
@@ -207,7 +272,16 @@ def main():
         if it % args.save_freq == 0 or it == args.steps:
             ckpt.save(it, {"params": jax.device_get(params),
                            "batch_stats": jax.device_get(stats)})
-            io.cprint(f"==> saved step {it}")
+            val_acc = validate(params, stats)
+            marker = ""
+            if val_acc > best_val:
+                best_val = val_acc
+                best_ckpt.save(it, {"params": jax.device_get(params),
+                                    "batch_stats": jax.device_get(stats)})
+                marker = "  (new best)"
+            io.cprint(f"==> saved step {it}  val acc "
+                      f"{100*val_acc:.2f}%{marker}")
+            tb.add_scalar("val/acc", 100 * val_acc, it)
 
 
 if __name__ == "__main__":

@@ -326,6 +326,9 @@ class KPConvLayer(nn.Module):
                             extent)
             off = off.reshape(-1, p, 3) * extent  # (Nq, P, 3)
             kp = base[None] + off
+            # captured by cli/introspect_kpconv.py --mode deformations
+            # (reference visualize_deformations.py reads deformed_KP by name)
+            self.sow("intermediates", "deformed_kp", kp)
             # fitting + repulsive regularizers (KPFCNN_model.py:217-296)
             ns = supports.shape[0]
             sup_pad = jnp.concatenate([supports, jnp.full((1, 3), 1e6)], 0)

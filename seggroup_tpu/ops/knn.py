@@ -35,7 +35,39 @@ __all__ = [
     "cluster_knn",
     "ball_query",
     "grid_hash",
+    "morton3d",
 ]
+
+
+def morton3d(points: jax.Array, valid: jax.Array | None = None,
+             bits: int = 10) -> jax.Array:
+    """Morton (Z-order) code of 3-D points, (N,) int32. Points are quantized
+    to `bits` per axis over their (valid-)bounding box; bit interleaving via
+    the standard parallel-prefix spread. Used to make sorted-position windows
+    spatially local (cluster_knn / cluster_pointclouds): consecutive Morton
+    ranks are spatial neighbors, so a position window over a Morton-sorted
+    cluster covers a compact region instead of an arbitrary member subset."""
+    assert bits * 3 <= 31
+    if valid is None:
+        lo = jnp.min(points, axis=0)
+        hi = jnp.max(points, axis=0)
+    else:
+        big = jnp.float32(3e38)
+        lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
+    scale = (2.0 ** bits - 1.0) / jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((points - lo) * scale, 0, 2.0 ** bits - 1).astype(jnp.int32)
+
+    def spread(x):
+        # 10-bit -> every 3rd bit (magic-number bit spreading)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+            | (spread(q[:, 2]) << 2)).astype(jnp.int32)
 
 
 def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -92,9 +124,15 @@ def cluster_knn(
     cluster_ids: (N,) int32; use a large sentinel (> any real id) for padding
                  points so they sort to the end and never match real clusters.
     window:      static cap on the sorted-candidate window per row block;
-                 clusters larger than `window` get approximate (window-truncated)
-                 kNN. Controls the compute budget: work is O(N * window) instead
-                 of O(N^2).
+                 clusters larger than `window` get approximate kNN over the
+                 window. Controls the compute budget: work is O(N * window)
+                 instead of O(N^2). Points are Morton-ordered within each
+                 cluster and the window is centered on the row block, so the
+                 truncated candidate set is the rows' spatial NEIGHBORHOOD,
+                 not an arbitrary member subset (measured: <2% neighbor-
+                 distance inflation at 2x over-window,
+                 tests/test_approx_semantics.py; an arbitrary-order window
+                 inflates ~24%).
 
     Returns (N, k) int32 indices in the ORIGINAL point order. Rows whose
     cluster has < k members repeat the self index (deviation from reference
@@ -103,7 +141,11 @@ def cluster_knn(
     N, D = points.shape
     assert N % row_block == 0, "pad N to a multiple of row_block"
 
-    order = jnp.argsort(cluster_ids, stable=True).astype(jnp.int32)
+    # two-key stable sort: cluster id major, Morton code minor
+    m_order = jnp.argsort(morton3d(points), stable=True).astype(jnp.int32)
+    order = m_order[
+        jnp.argsort(cluster_ids[m_order], stable=True).astype(jnp.int32)
+    ]
     s_pts = points[order]
     s_cid = cluster_ids[order]
 
@@ -124,10 +166,13 @@ def cluster_knn(
         r0 = b * row_block
         rows = jax.lax.dynamic_slice(s_pts, (r0, 0), (row_block, D))
         rows_cid = jax.lax.dynamic_slice(s_cid, (r0,), (row_block,))
-        # window start: first member of the first row's cluster
-        w0 = jnp.searchsorted(
+        # window: centered on the row block, clamped to the first row's
+        # cluster start (Morton order makes the window a spatial
+        # neighborhood of the block's rows)
+        c0 = jnp.searchsorted(
             s_cid[:N], rows_cid[0], side="left"
         ).astype(jnp.int32)
+        w0 = jnp.maximum(c0, jnp.int32(r0) - jnp.int32(window // 2))
         cols = jax.lax.dynamic_slice(s_pts, (w0, 0), (w, D))
         cols_cid = jax.lax.dynamic_slice(s_cid, (w0,), (w,))
         # one MXU matmul + one top-k over the whole window (measured ~3x

@@ -17,6 +17,15 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; the config flag wins over both
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: XLA-CPU compiles of the full-size models
+# dominate suite wall-clock on this 1-CPU box (~10 min cold); identical
+# programs hit the cache on re-runs (~3x faster). Keyed by HLO hash, so
+# source changes invalidate exactly the affected programs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

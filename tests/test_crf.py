@@ -94,6 +94,7 @@ def test_crf_neighbor_cells_couple(rng):
     np.testing.assert_allclose(out[0], sm1, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_crf_wrapped_registry_and_forward(rng):
     from seggroup_tpu.models import get_model
 

@@ -4,6 +4,10 @@ consume the pseudo-label files. This is the reference's cross-stage on-disk
 interface (SURVEY.md §0) exercised end-to-end — coverage the reference never
 had."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess e2e, ~7 min of XLA-CPU compiles
+
 import os
 import subprocess
 import sys

@@ -128,7 +128,7 @@ def test_group_nearby_parallel_invariants(rng):
     """The parallel-rounds engine must reach the same fixpoint invariant as
     the sequential reference: every passing edge is intra-cluster or joins two
     differently-labeled clusters; counts/labels consistent."""
-    for trial in range(10):
+    for trial in range(5):
         s = 16
         g, ins, sem, counts, edges, e_arr, ev, dists, nonempty = _random_case(rng, s)
         g_out, conn = gr.group_nearby_clusters(
@@ -157,7 +157,7 @@ def test_group_nearby_parallel_invariants(rng):
 def test_group_nearby_parallel_equals_oracle_when_conflict_free(rng):
     """With at most one labeled segment per connected component, merge order
     is irrelevant and the parallel engine must match the oracle exactly."""
-    for trial in range(10):
+    for trial in range(5):
         s = 16
         point2seg = rng.integers(0, s, size=400).astype(np.int32)
         counts = np.bincount(point2seg, minlength=s)

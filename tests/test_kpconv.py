@@ -80,6 +80,7 @@ def test_pyramid_shapes(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_kpfcnn_forward_and_grads(rng):
     n = 1024
     pts = rng.random((n, 3)).astype(np.float32) * 3
@@ -118,6 +119,7 @@ def test_kpfcnn_forward_and_grads(rng):
     assert total > 0
 
 
+@pytest.mark.slow
 def test_kpfcnn_param_count():
     """Full ScanNet config (fdim 64, 15 kernel points) should land near the
     reference's 14.97M params (FAQ.md:46)."""

@@ -25,6 +25,7 @@ def make_sparse_input(rng, m_cap=512, n=300, cin=3, grid=24, batches=2):
                         jnp.int32(n))
 
 
+@pytest.mark.slow
 def test_res16unet34c_param_count(rng):
     st = make_sparse_input(rng, m_cap=256, n=150)
     model = make_minkunet("Res16UNet34C", out_channels=20,
@@ -62,6 +63,7 @@ def test_forward_is_permutation_equivariant(rng):
     np.testing.assert_allclose(out2, out1[perm], rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_train_step_grads(rng):
     import optax
 
@@ -89,6 +91,7 @@ def test_train_step_grads(rng):
     assert gnorm > 0
 
 
+@pytest.mark.slow
 def test_res16unet50_bottleneck_forward_and_grads(rng):
     """Bottleneck variants (reference res16unet.py:270-278): forward is
     finite/masked and grads flow through all three convs of a bottleneck."""

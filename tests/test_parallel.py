@@ -1,6 +1,7 @@
 """Multi-device DP tests on the 8-device virtual CPU mesh — coverage the
 reference never had (its DDP paths only ran on real GPUs, SURVEY.md §4)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_syncs():
     mesh = make_mesh()
     model = SegGroupGNN(cluster_cap=128)
@@ -63,6 +65,7 @@ def test_dp_train_step_runs_and_syncs():
     assert float(m2["loss"]) != float(m1["loss"])  # params changed
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_grads():
     """pmean of per-scene grads over the mesh == mean of per-scene grads
     computed serially (DDP equivalence)."""
@@ -124,6 +127,7 @@ def test_dp_infer_step():
     assert (sems >= 1).all()  # every point labeled in every scene
 
 
+@pytest.mark.slow
 def test_minkunet_dp_grad_equivalence():
     """DP-pmean'd MinkUNet update == the mean of serially-computed per-shard
     gradients (stage-2 DDP equivalence; the stage-1 analog is above)."""

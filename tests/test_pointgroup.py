@@ -55,11 +55,12 @@ def model_and_vars(batch):
     model = PointGroup(classes=8, m=8, max_proposals_per_source=32,
                        score_cap=2048, cluster_npoint_thre=20,
                        cluster_radius=0.25)
-    variables = model.init(
-        jax.random.PRNGKey(0), batch["st"], batch["p2v"], batch["coords"],
-        batch["batch_ids"], batch["valid"], do_clustering=True, train=True,
-        jitter_rng=jax.random.PRNGKey(1),
-    )
+    variables = jax.jit(
+        lambda r, st, p2v, c, b, v: model.init(
+            r, st, p2v, c, b, v, do_clustering=True, train=True,
+            jitter_rng=jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(0), batch["st"], batch["p2v"], batch["coords"],
+      batch["batch_ids"], batch["valid"])
     return model, variables
 
 
@@ -97,6 +98,7 @@ def test_clustering_finds_instances(batch, model_and_vars):
         assert spread < 1.0, f"proposal {p} spans {spread}"
 
 
+@pytest.mark.slow
 def test_loss_and_grads(batch, model_and_vars):
     model, variables = model_and_vars
     params = variables["params"]

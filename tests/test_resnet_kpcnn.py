@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +7,7 @@ from seggroup_tpu.models.resnet_sparse import KPCNN, make_sparse_resnet
 from seggroup_tpu.sparse.tensor import SparseTensor
 
 
+@pytest.mark.slow
 def test_sparse_resnet_classification(rng):
     m_cap, n = 512, 300
     coords = np.zeros((m_cap, 4), np.int32)
@@ -29,6 +31,7 @@ def test_sparse_resnet_classification(rng):
     assert np.isfinite(logits).all()
 
 
+@pytest.mark.slow
 def test_kpcnn_classification(rng):
     from seggroup_tpu.models.kpconv import build_pyramid
 

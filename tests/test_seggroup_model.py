@@ -60,6 +60,7 @@ def test_forward_modes(scene, model_and_vars):
         assert sem2.max() <= 40
 
 
+@pytest.mark.slow
 def test_grad_flow(scene, model_and_vars):
     model, variables = model_and_vars
     params = variables["params"]

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from seggroup_tpu import native
 from seggroup_tpu.sparse.conv import build_subm_rulebook, downsample_coords
@@ -57,6 +58,7 @@ def test_unet_plan_end_to_end_parity(rng):
     np.testing.assert_array_equal(out_plan_nw, out_dev)
 
 
+@pytest.mark.slow
 def test_windowed_conv_matches_plain(rng):
     """Pallas windowed gather (interpret mode on CPU) == plain gather, fwd
     and both gradients, including absent neighbors and window fallback."""

@@ -378,44 +378,73 @@ def group_nearby_clusters_sequential(
 
 
 def absorb_small_clusters(
-    g: SegGraph, edges: jax.Array, edge_valid: jax.Array, min_points: int = 5
+    g: SegGraph, edges: jax.Array, edge_valid: jax.Array, min_points: int = 5,
+    compact_budget: int | None = None,
 ) -> SegGraph:
     """Repeatedly merge across edges touching a cluster with < min_points points
     until a full pass makes no merge (reference model.py:228-239; we terminate
     on no-actual-merge, which also fixes the reference's potential livelock when
-    the only small-cluster edges are label-blocked)."""
+    the only small-cluster edges are label-blocked).
 
-    def one_pass(graph):
-        def step(carry, inp):
-            graph, merged = carry
-            e, valid = inp
-            r1 = graph.root[e[0]]
-            r2 = graph.root[e[1]]
-            small = (graph.point_num[r1] < min_points) | (
-                graph.point_num[r2] < min_points
+    Exact compaction: cluster sizes only grow during absorption, and a
+    cluster that is small at any time consists solely of initially-small
+    clusters — so an edge can only EVER be eligible if one endpoint's cluster
+    is small at absorb start. Those edges (usually a handful) are gathered
+    into a `compact_budget`-slot prefix (stable order, so the fold over them
+    is bit-identical to the full scan whose skipped steps are permanent
+    no-ops); if they overflow the budget a lax.cond falls back to the full
+    scan. Cuts the dominant absorb scans from O(E) to O(budget) steps."""
+    E = edges.shape[0]
+    if compact_budget is None:
+        compact_budget = max(min(E, 128), E // 8)
+
+    def passes(graph, e, v):
+        def one_pass(graph):
+            def step(carry, inp):
+                graph, merged = carry
+                e, valid = inp
+                r1 = graph.root[e[0]]
+                r2 = graph.root[e[1]]
+                small = (graph.point_num[r1] < min_points) | (
+                    graph.point_num[r2] < min_points
+                )
+                do = valid & small & (r1 != r2)
+                i1, i2 = graph.ins_label[r1], graph.ins_label[r2]
+                blocked = (i1 != -1) & (i2 != -1) & (i1 != i2)
+                merged = merged | (do & ~blocked)
+                return (_union(graph, r1, r2, do), merged), None
+
+            (graph, merged), _ = jax.lax.scan(
+                step, (graph, jnp.array(False)), (e, v)
             )
-            do = valid & small & (r1 != r2)
-            i1, i2 = graph.ins_label[r1], graph.ins_label[r2]
-            blocked = (i1 != -1) & (i2 != -1) & (i1 != i2)
-            merged = merged | (do & ~blocked)
-            return (_union(graph, r1, r2, do), merged), None
+            return graph, merged
 
-        (graph, merged), _ = jax.lax.scan(
-            step, (graph, jnp.array(False)), (edges, edge_valid)
+        graph, merged = one_pass(graph)
+        graph, _ = jax.lax.while_loop(
+            lambda c: c[1], lambda c: one_pass(c[0]), (graph, merged)
         )
-        return graph, merged
+        return graph
 
-    def cond(carry):
-        _, merged = carry
-        return merged
+    if compact_budget >= E:
+        return passes(g, edges, edge_valid)
 
-    def body(carry):
-        graph, _ = carry
-        return one_pass(graph)
-
-    g, merged = one_pass(g)
-    g, _ = jax.lax.while_loop(cond, body, (g, merged))
-    return g
+    s = g.num_slots
+    r0 = g.root[jnp.clip(edges[:, 0], 0, s - 1)]
+    r1 = g.root[jnp.clip(edges[:, 1], 0, s - 1)]
+    touch = edge_valid & (
+        (g.point_num[r0] < min_points) | (g.point_num[r1] < min_points)
+    )
+    order = jnp.argsort(~touch, stable=True).astype(jnp.int32)
+    sel = order[:compact_budget]
+    e_c = edges[sel]
+    v_c = touch[sel]
+    count = jnp.sum(touch.astype(jnp.int32))
+    return jax.lax.cond(
+        count <= compact_budget,
+        lambda graph: passes(graph, e_c, v_c),
+        lambda graph: passes(graph, edges, edge_valid),
+        g,
+    )
 
 
 def group_unlabeled_clusters(

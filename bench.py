@@ -24,7 +24,7 @@ N_EDGES = 4096
 N_SCENES = 4
 
 
-def tpu_points_per_sec(sequential: bool = True):
+def tpu_points_per_sec(sequential: bool = True, fast_knn: bool = False):
     import jax
 
     from seggroup_tpu.data.synthetic import make_synthetic_scene
@@ -41,7 +41,8 @@ def tpu_points_per_sec(sequential: bool = True):
         for i in range(N_SCENES)
     ]
     jax.block_until_ready(scenes)
-    model = SegGroupGNN(cluster_cap=1024, sequential=sequential)
+    model = SegGroupGNN(cluster_cap=1024, sequential=sequential,
+                        fast_knn=fast_knn)
     # jit the init: eager init dispatches hundreds of tiny remote ops through
     # the axon tunnel (~minutes); one compiled program instead
     variables = jax.jit(
@@ -320,6 +321,7 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
 def main():
     tpu_pps, tpu_dt = tpu_points_per_sec()            # default: bit-faithful
     par_pps, par_dt = tpu_points_per_sec(sequential=False)
+    fast_pps, fast_dt = tpu_points_per_sec(sequential=False, fast_knn=True)
     base_pps, base_dt = baseline_points_per_sec()
     s2_device, s2_pipe = stage2_minkunet_s_per_iter()
     s2_big = stage2_device_step()
@@ -336,6 +338,10 @@ def main():
                     "grouping_mode": "sequential (bit-faithful default)",
                     "tpu_s_per_scene_parallel_grouping": round(par_dt, 3),
                     "parallel_grouping_points_per_sec": round(par_pps, 1),
+                    "tpu_s_per_scene_fast_mode": round(fast_dt, 3),
+                    "fast_mode_points_per_sec": round(fast_pps, 1),
+                    "fast_mode": "parallel grouping + approx top-k kNN "
+                                 "(--parallel_grouping --fast_knn)",
                     "cpu_reference_emulation_s_per_scene": round(base_dt, 3),
                     "scene": {"points": N_POINTS, "segments": N_SLOTS,
                               "edges": N_EDGES},

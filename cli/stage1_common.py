@@ -52,6 +52,9 @@ def add_common_args(p):
                    help="write tensorboard scalars next to the run log "
                         "(reference tensorboardX sites: pointgroup/"
                         "train.py:29-30, minkowski lib/train.py:35)")
+    p.add_argument("--fast_knn", action="store_true",
+                   help="approximate device top-k inside cluster kNN "
+                        "(~2x faster scenes; breaks exact reference parity)")
     p.add_argument("--parallel_grouping", action="store_true",
                    help="use the parallel-rounds merge engine instead of "
                         "the bit-faithful sequential emulation (faster, "

@@ -44,7 +44,8 @@ def main():
     source = SceneSource(args)
 
     model = SegGroupGNN(cluster_cap=args.cluster_cap,
-                        sequential=not args.parallel_grouping)
+                        sequential=not args.parallel_grouping,
+                        fast_knn=args.fast_knn)
     scene0, _ = source.get(0)
     scene0 = jax.tree.map(jnp.asarray, scene0)
     variables = jax.jit(

@@ -48,7 +48,8 @@ def main():
     io.cprint(f"scenes: {len(source)}")
 
     model = SegGroupGNN(cluster_cap=args.cluster_cap,
-                        sequential=not args.parallel_grouping)
+                        sequential=not args.parallel_grouping,
+                        fast_knn=args.fast_knn)
     scene0, _ = source.get(0)
     import jax.numpy as jnp
     scene0 = jax.tree.map(jnp.asarray, scene0)

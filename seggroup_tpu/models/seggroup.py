@@ -288,6 +288,9 @@ class SegGroupGNN(nn.Module):
     knn_k: int = 20
     knn_window: int = 8192  # sorted-candidate budget; clusters larger than
     # this get window-truncated (approximate) kNN — see ops.knn.cluster_knn
+    fast_knn: bool = False  # lax.approx_max_k inside cluster_knn (~3.7x
+    # faster per kNN call, recall 0.95) — pairs with parallel grouping as
+    # the opt-in fast mode; default exact for reference parity
     mlp1_points: int = 64
     cluster_cap: int = 1024
     max_instances: int = 128
@@ -400,7 +403,7 @@ class SegGroupGNN(nn.Module):
         s = g.num_slots
         knn_idx = cluster_knn(
             pts[:, :3], jnp.where(pt_valid, roots, jnp.int32(0x3FFFFFFF)),
-            k=self.knn_k, window=self.knn_window,
+            k=self.knn_k, window=self.knn_window, approx=self.fast_knn,
         )
         center = segment_mean(pts[:, :3], roots, s)  # (S, 3)
         centered = pts[:, :3] - center[jnp.minimum(roots, s - 1)]

@@ -109,7 +109,8 @@ def masked_knn(points: jax.Array, valid: jax.Array, k: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k", "row_block", "col_block", "window"))
+@partial(jax.jit, static_argnames=("k", "row_block", "col_block", "window",
+                                   "approx"))
 def cluster_knn(
     points: jax.Array,
     cluster_ids: jax.Array,
@@ -117,6 +118,7 @@ def cluster_knn(
     row_block: int = 1024,
     col_block: int = 1024,
     window: int = 16384,
+    approx: bool = False,
 ) -> jax.Array:
     """Per-point kNN restricted to points sharing `cluster_ids` (self included).
 
@@ -180,7 +182,14 @@ def cluster_knn(
         d = pairwise_sqdist(rows, cols)  # (row_block, w)
         same = rows_cid[:, None] == cols_cid[None, :]
         d = jnp.where(same, d, big)
-        neg_d, bi = jax.lax.top_k(-d, k)
+        if approx:
+            # TPU-native approximate top-k (lax.approx_max_k): ~3.7x faster
+            # than exact at w=9216 (81 vs 297 ms over a 150k scene); may
+            # miss/duplicate a tail neighbor — opt-in fast path, NOT used
+            # when reference parity matters
+            neg_d, bi = jax.lax.approx_max_k(-d, k, recall_target=0.95)
+        else:
+            neg_d, bi = jax.lax.top_k(-d, k)
         best_i = (bi + w0).astype(jnp.int32)
         # rows with < k same-cluster candidates: fall back to self
         self_sorted = (r0 + jnp.arange(row_block, dtype=jnp.int32))[:, None]

@@ -131,3 +131,22 @@ def test_ball_query_bucket_overflow_flagged(rng):
     )
     assert not np.asarray(overflow2)[:40].any()
     assert (np.asarray(counts2)[:40] == 40).all()
+
+
+def test_cluster_knn_approx_mode(rng):
+    """approx=True (lax.approx_max_k fast path): same shapes, neighbors all
+    same-cluster, and distance quality close to exact on small clusters."""
+    n, k = 2048, 8
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cid = (rng.integers(0, 8, n)).astype(np.int32)
+    exact = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid), k=k,
+                                   row_block=1024, window=2048))
+    approx = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid), k=k,
+                                    row_block=1024, window=2048, approx=True))
+    assert approx.shape == (n, k)
+    assert (cid[approx] == cid[:, None]).all()  # never crosses clusters
+    d_e = np.sort(((pts[:, None] - pts[exact]) ** 2).sum(-1), 1)
+    d_a = np.sort(((pts[:, None] - pts[approx]) ** 2).sum(-1), 1)
+    rel = (np.sqrt(d_a + 1e-12) - np.sqrt(d_e + 1e-12)).mean() / max(
+        np.sqrt(d_e).mean(), 1e-9)
+    assert rel < 0.1, rel

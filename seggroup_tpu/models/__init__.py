@@ -25,6 +25,7 @@ register("seggroup_gnn")(SegGroupGNN)
 
 
 def _register_lazy():
+    from seggroup_tpu.models.kpconv import KPCNN as KPCNN_KP
     from seggroup_tpu.models.kpconv import KPFCNN
     from seggroup_tpu.models.minkunet import VARIANTS, make_minkunet
     from seggroup_tpu.models.pointgroup import PointGroup
@@ -35,7 +36,8 @@ def _register_lazy():
 
     register("pointgroup")(PointGroup)
     register("kpfcnn")(KPFCNN)
-    register("kpcnn")(KPCNN)
+    register("kpcnn")(KPCNN)          # sparse-voxel-engine classifier
+    register("kpcnn_kp")(KPCNN_KP)    # true KPConv-block classifier
     for name in VARIANTS:
         _REGISTRY[name] = (lambda v: lambda **kw: make_minkunet(v, **kw))(name)
     for name in RESNET_VARIANTS:

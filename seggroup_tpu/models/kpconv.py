@@ -300,12 +300,25 @@ def _leaky(x):
 
 
 class KPConvLayer(nn.Module):
-    """One (possibly deformable) KPConv with weights as flax params."""
+    """One (possibly deformable) KPConv with weights as flax params.
+
+    deformable:    v1 — offsets from a rigid KPConv head over the
+                   neighborhood (reference convolution_ops.py:252-502).
+    deformable_v2: offsets from a pointwise MLP on the query features
+                   instead — fewer parameters, center point fixed
+                   (convolution_ops.py:503-626). For strided blocks the
+                   query feature is read at the nearest support row.
+    modulated:     v2 only — the MLP also emits per-kernel-point modulation
+                   scalars 2*sigmoid(.), applied to the influence weights;
+                   the center point's modulation is 0 like the reference
+                   (convolution_ops.py:566-570)."""
 
     out_channels: int
     num_kernel_points: int = 15
     kp_extent: float = 1.0
     deformable: bool = False
+    deformable_v2: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, queries, supports, neighbors, feats, dl):
@@ -319,13 +332,38 @@ class KPConvLayer(nn.Module):
             (p, cin, self.out_channels),
         )
         reg = jnp.zeros(())
-        if self.deformable:
+        modulations = None
+        if self.deformable_v2:
+            # pointwise offset MLP on query-located features (zero-init like
+            # the reference's w0/b0, convolution_ops.py:548-552)
+            if queries.shape[0] == supports.shape[0]:
+                qfeats = feats
+            else:  # strided: nearest support row carries the query feature
+                ns = supports.shape[0]
+                qfeats = jnp.concatenate(
+                    [feats, jnp.zeros((1, cin))], 0
+                )[jnp.minimum(neighbors[:, 0], ns)]
+            off_dim = (3 + int(self.modulated)) * (p - 1)
+            f0 = nn.Dense(off_dim, use_bias=True,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name="offset_mlp")(qfeats)
+            off = f0[:, : 3 * (p - 1)].reshape(-1, p - 1, 3)
+            off = jnp.concatenate([jnp.zeros_like(off[:, :1]), off], axis=1)
+            off = off * extent
+            kp = base[None] + off
+            if self.modulated:
+                mods = 2.0 * jax.nn.sigmoid(f0[:, 3 * (p - 1):])  # (Nq, P-1)
+                modulations = jnp.concatenate(
+                    [jnp.zeros_like(mods[:, :1]), mods], axis=1)
+        elif self.deformable:
             w_off = self.param("offset_kernel", nn.initializers.zeros,
                                (p, cin, p * 3))
             off = kpconv_op(queries, supports, neighbors, feats, base, w_off,
                             extent)
             off = off.reshape(-1, p, 3) * extent  # (Nq, P, 3)
             kp = base[None] + off
+        if self.deformable or self.deformable_v2:
             # captured by cli/introspect_kpconv.py --mode deformations
             # (reference visualize_deformations.py reads deformed_KP by name)
             self.sow("intermediates", "deformed_kp", kp)
@@ -342,14 +380,17 @@ class KPConvLayer(nn.Module):
             )
             reg = fitting + repulsive
             out = _deformable_apply(queries, supports, neighbors, feats, kp, w,
-                                    extent)
+                                    extent, modulations=modulations)
         else:
             out = kpconv_op(queries, supports, neighbors, feats, base, w, extent)
         return out, reg
 
 
-def _deformable_apply(queries, supports, neighbors, feats, kp, w, extent):
-    """Same math as kpconv_op but with per-query kernel points (Nq, P, 3)."""
+def _deformable_apply(queries, supports, neighbors, feats, kp, w, extent,
+                      modulations=None):
+    """Same math as kpconv_op but with per-query kernel points (Nq, P, 3);
+    optional per-query modulation scalars (Nq, P) multiply the influence
+    weights (reference KPConv_deform_ops modulated path)."""
     ns = supports.shape[0]
     sup_pad = jnp.concatenate([supports, jnp.full((1, 3), 1e6)], 0)
     feat_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], 0)
@@ -357,6 +398,8 @@ def _deformable_apply(queries, supports, neighbors, feats, kp, w, extent):
     rel = sup_pad[nbr] - queries[:, None, :]
     d2 = jnp.sum((rel[:, :, None, :] - kp[:, None]) ** 2, -1)
     infl = jnp.maximum(0.0, 1.0 - jnp.sqrt(d2 + 1e-12) / extent)
+    if modulations is not None:
+        infl = infl * modulations[:, None, :]
     g = feat_pad[nbr]
     weighted = jnp.einsum("nkp,nkc->npc", infl, g,
                           preferred_element_type=jnp.float32)
@@ -372,6 +415,8 @@ class ResnetBottleneck(nn.Module):
     fdim: int
     deformable: bool = False
     strided: bool = False
+    deformable_v2: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, lvl: PyramidLevel, nxt: PyramidLevel | None, feats,
@@ -386,7 +431,9 @@ class ResnetBottleneck(nn.Module):
 
         x = nn.Dense(f // 2, use_bias=False, name="conv1")(feats)
         x = _leaky(TFBatchNorm(name="bn1")(x, lvl.valid, train))
-        x, reg = KPConvLayer(f // 2, deformable=self.deformable, name="kp")(
+        x, reg = KPConvLayer(f // 2, deformable=self.deformable,
+                             deformable_v2=self.deformable_v2,
+                             modulated=self.modulated, name="kp")(
             queries, lvl.points, neighbors, x, dl
         )
         x = _leaky(TFBatchNorm(name="bn2")(x, q_valid, train))
@@ -425,6 +472,7 @@ class KPFCNN(nn.Module):
     architecture: Sequence[str] = SCANNET_ARCHITECTURE
     first_features_dim: int = 64
     dl0: float = 0.04
+    modulated: bool = False  # modulated deformable_v2 blocks
 
     @nn.compact
     def __call__(self, pyramid: list[PyramidLevel], in_feats, train: bool = True):
@@ -444,13 +492,15 @@ class KPFCNN(nn.Module):
                 feats = _leaky(TFBatchNorm(name=f"b{i}_bn")(x, lvl.valid, train))
                 regs += reg
             elif name.startswith("resnetb"):
-                deform = "deformable" in name
+                v2 = "deformable_v2" in name
+                deform = ("deformable" in name) and not v2
                 strided = "strided" in name
                 if strided:
                     skips.append(feats)
                 nxt = pyramid[layer + 1] if strided else None
                 feats, reg = ResnetBottleneck(
-                    fdim, deform, strided, name=f"b{i}")(
+                    fdim, deform, strided, deformable_v2=v2,
+                    modulated=v2 and self.modulated, name=f"b{i}")(
                     lvl, nxt, feats, dl, train)
                 regs += reg
                 if strided:
@@ -480,3 +530,88 @@ class KPFCNN(nn.Module):
         head = _leaky(TFBatchNorm(name="head_bn")(head, lvl.valid, train))
         logits = nn.Dense(self.num_classes, name="logits")(head)
         return jnp.where(lvl.valid[:, None], logits, 0.0), regs
+
+
+MODELNET_ARCHITECTURE = (
+    "simple", "resnetb", "resnetb_strided", "resnetb", "resnetb_strided",
+    "resnetb_deformable", "resnetb_deformable_strided", "resnetb_deformable",
+    "resnetb_deformable_strided", "resnetb_deformable", "global_average",
+)
+
+
+class KPCNN(nn.Module):
+    """Classification CNN over KPConv blocks (reference models/KPCNN_model.py
+    + assemble_CNN_blocks/classification_head, network_blocks.py:1018-1084,
+    1151-1174): simple/resnetb encoder with strided + deformable stages,
+    masked global average over each batch element (global_average_block,
+    network_blocks.py:835-860), then fc 1024 -> dropout -> num_classes.
+
+    Named KPCNN like the reference; the sparse-voxel-engine classifier of the
+    same role lives in models/resnet_sparse.py (registry key 'kpcnn')."""
+
+    num_classes: int = 40
+    architecture: Sequence[str] = MODELNET_ARCHITECTURE
+    first_features_dim: int = 64
+    dl0: float = 0.04
+    num_batches: int = 8  # static batch-element budget for the pooled output
+    modulated: bool = False
+
+    @nn.compact
+    def __call__(self, pyramid: list[PyramidLevel], in_feats,
+                 train: bool = True):
+        fdim = self.first_features_dim
+        dl = self.dl0
+        layer = 0
+        feats = in_feats
+        regs = jnp.zeros(())
+        pooled = None
+        for i, name in enumerate(self.architecture):
+            lvl = pyramid[layer]
+            if name == "simple":
+                x, reg = KPConvLayer(fdim // 2, name=f"b{i}_kp")(
+                    lvl.points, lvl.points, lvl.neighbors, feats, dl)
+                feats = _leaky(TFBatchNorm(name=f"b{i}_bn")(x, lvl.valid, train))
+                regs += reg
+            elif name.startswith("resnetb"):
+                v2 = "deformable_v2" in name
+                deform = ("deformable" in name) and not v2
+                strided = "strided" in name
+                nxt = pyramid[layer + 1] if strided else None
+                feats, reg = ResnetBottleneck(
+                    fdim, deform, strided, deformable_v2=v2,
+                    modulated=v2 and self.modulated, name=f"b{i}")(
+                    lvl, nxt, feats, dl, train)
+                regs += reg
+                if strided:
+                    layer += 1
+                    dl *= 2
+                    fdim *= 2
+            elif name == "max_pool":
+                # max over the pooling neighborhood (max_pool_block,
+                # network_blocks.py:824-831)
+                nxt = pyramid[layer + 1]
+                ns = feats.shape[0]
+                pad = jnp.concatenate(
+                    [feats, jnp.full((1, feats.shape[1]), -1e30)], 0)
+                feats = jnp.max(pad[jnp.minimum(lvl.pools, ns)], axis=1)
+                feats = jnp.where(feats <= -1e30, 0.0, feats)
+                layer += 1
+                dl *= 2
+                fdim *= 2
+            elif name == "global_average":
+                b_ids = jnp.where(lvl.valid, lvl.batch, self.num_batches)
+                pooled = segment_mean(feats, b_ids, self.num_batches)  # (B, C)
+            else:
+                raise ValueError(name)
+
+        assert pooled is not None, "architecture must end in global_average"
+        batch_valid = jax.ops.segment_sum(
+            pyramid[layer].valid.astype(jnp.int32),
+            jnp.where(pyramid[layer].valid, pyramid[layer].batch,
+                      self.num_batches),
+            num_segments=self.num_batches + 1)[: self.num_batches] > 0
+        h = nn.Dense(1024, use_bias=False, name="fc")(pooled)
+        h = _leaky(TFBatchNorm(name="fc_bn")(h, batch_valid, train))
+        h = nn.Dropout(0.5, deterministic=not train)(h)
+        logits = nn.Dense(self.num_classes, name="softmax")(h)
+        return jnp.where(batch_valid[:, None], logits, 0.0), regs

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from seggroup_tpu.models.kpconv import (
+    KPConvLayer,
     KPFCNN,
     build_pyramid,
     kernel_point_positions,
@@ -134,3 +135,75 @@ def test_kpfcnn_param_count():
     variables = model.init(jax.random.PRNGKey(0), pyr, feats, train=False)
     count = sum(x.size for x in jax.tree.leaves(variables["params"]))
     assert 12e6 < count < 18e6, count
+
+
+def test_deformable_v2_init_equals_rigid(rng):
+    """deformable_v2's offset MLP is zero-initialized, so at init (zero
+    offsets) the conv must equal the rigid conv with the same kernel
+    (reference convolution_ops.py:548-552)."""
+    n, k, c = 256, 8, 16
+    pts = jnp.array(rng.normal(size=(n, 3)).astype(np.float32))
+    feats = jnp.array(rng.normal(size=(n, c)).astype(np.float32))
+    nbrs = jnp.array(rng.integers(0, n, size=(n, k)).astype(np.int32))
+    rigid = KPConvLayer(out_channels=12)
+    v2 = KPConvLayer(out_channels=12, deformable_v2=True)
+    vr = rigid.init(jax.random.PRNGKey(0), pts, pts, nbrs, feats, 0.1)
+    vv = v2.init(jax.random.PRNGKey(0), pts, pts, nbrs, feats, 0.1)
+    # share the main kernel
+    vv = {"params": dict(vv["params"], kernel=vr["params"]["kernel"])}
+    out_r, _ = rigid.apply(vr, pts, pts, nbrs, feats, 0.1)
+    out_v, _ = v2.apply(vv, pts, pts, nbrs, feats, 0.1,
+                        mutable=["intermediates"])[0]
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_modulated_v2_runs_and_differs(rng):
+    n, k, c = 128, 8, 8
+    pts = jnp.array(rng.normal(size=(n, 3)).astype(np.float32))
+    feats = jnp.array(rng.normal(size=(n, c)).astype(np.float32))
+    nbrs = jnp.array(rng.integers(0, n, size=(n, k)).astype(np.int32))
+    mod = KPConvLayer(out_channels=8, deformable_v2=True, modulated=True)
+    vm = mod.init(jax.random.PRNGKey(0), pts, pts, nbrs, feats, 0.1)
+    (out, reg), _ = mod.apply(vm, pts, pts, nbrs, feats, 0.1,
+                              mutable=["intermediates"])
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(float(reg))
+
+
+@pytest.mark.slow
+def test_kpcnn_kp_classifier_forward_and_grads(rng):
+    """True KPConv-block classifier (reference KPCNN_model.py): masked
+    global-average pooling + fc head; grads flow."""
+    from seggroup_tpu.models.kpconv import KPCNN, MODELNET_ARCHITECTURE
+
+    n = 1024
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    batch = np.zeros(n, np.int32)
+    batch[n // 2:] = 1
+    valid = np.ones(n, bool)
+    valid[-64:] = False
+    pyr = build_pyramid(jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                        num_layers=5, dl0=0.08,
+                        level_caps=[512, 256, 128, 64])
+    feats = jnp.array(np.ones((n, 4), np.float32))
+    model = KPCNN(num_classes=10, first_features_dim=16, dl0=0.08,
+                  num_batches=4)
+    variables = jax.jit(lambda r, py, f: model.init(r, py, f, train=False))(
+        jax.random.PRNGKey(0), pyr, feats)
+    (logits, regs), _ = model.apply(variables, pyr, feats, train=False,
+                                    mutable=["intermediates"])
+    logits = np.asarray(logits)
+    assert logits.shape == (4, 10)
+    assert np.isfinite(logits[:2]).all()
+    assert (logits[2:] == 0).all()  # absent batch elements masked
+
+    def loss(p):
+        (lg, rg), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, pyr,
+            feats, train=False, mutable=["intermediates"])
+        return jnp.sum(lg ** 2) + rg
+
+    grads = jax.grad(loss)(variables["params"])
+    gn = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(gn)) and sum(x > 0 for x in gn) > len(gn) * 0.5

@@ -23,9 +23,26 @@ from seggroup_tpu.data.scannet import (
 
 def prep_one(task):
     (scans_dir, tsv, scene, out_dir, style, manual_dir, num_points,
-     max_segments, max_edges, seed) = task
+     max_segments, max_edges, seed, rasterize_dl) = task
     try:
         raw = read_scene_raw(scans_dir, scene, tsv)
+        if rasterize_dl:
+            # densify the mesh before resampling (reference
+            # prepare_pointcloud_ply rasterizes at 3 mm, Scannet.py:174-302)
+            from seggroup_tpu.data.mesh import rasterize_mesh
+
+            pts, cols, fid, corner = rasterize_mesh(
+                raw["vertices"][:, :3], raw["faces"], rasterize_dl,
+                features=raw["vertices"][:, 3:])
+            vidx = raw["faces"][fid, corner]
+            raw = dict(
+                vertices=np.concatenate([pts, cols], 1).astype(np.float32),
+                faces=raw["faces"],
+                seg_labels=raw["seg_labels"][vidx],
+                seg_labels_mesh=raw["seg_labels"],
+                real_sem=raw["real_sem"][vidx],
+                real_ins=raw["real_ins"][vidx],
+            )
         manual = None
         if style == "manual":
             with open(os.path.join(manual_dir, scene + ".json")) as f:
@@ -56,6 +73,10 @@ def main():
     p.add_argument("--max_segments", type=int, default=1024)
     p.add_argument("--max_edges", type=int, default=8192)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--rasterize_dl", type=float, default=0.0,
+                   help="densify the mesh at this pitch (m) before "
+                        "resampling, like the reference's 3 mm "
+                        "rasterization (0 = use raw vertices)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -70,7 +91,7 @@ def main():
 
     tasks = [(args.scans_dir, args.tsv, s, out_dir, args.label_style,
               args.manual_dir, args.num_points, args.max_segments,
-              args.max_edges, args.seed) for s in scenes]
+              args.max_edges, args.seed, args.rasterize_dl) for s in scenes]
     if args.workers > 1:
         with ProcessPoolExecutor(args.workers) as ex:
             results = list(ex.map(prep_one, tasks))

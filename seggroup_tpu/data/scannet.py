@@ -252,6 +252,10 @@ def prepare_scene(
     rng = np.random.default_rng(seed)
     verts = raw["vertices"]
     v = len(verts)
+    # rasterized clouds (data/mesh.py) carry per-point arrays while `faces`
+    # still indexes the ORIGINAL mesh vertices; adjacency is a segment-level
+    # property, so it is built from the per-mesh-vertex seg ids when present
+    mesh_seg = raw.get("seg_labels_mesh", raw["seg_labels"])
 
     mapping = resample_map(v, cfg.num_points, rng)
     unmap = compute_unmap(verts, mapping)
@@ -271,7 +275,9 @@ def prepare_scene(
     if n_seg > cfg.max_segments:
         # fold overflow segments into an adjacent kept segment (nearest
         # centroid fallback) so no point is dropped
-        adj_raw = segment_adjacency(raw["faces"], seg_compact_v)
+        seg_compact_mesh = np.array(
+            [compact_of.get(int(s), 0) for s in mesh_seg], np.int32)
+        adj_raw = segment_adjacency(raw["faces"], seg_compact_mesh)
         keep = cfg.max_segments
         centroid = np.zeros((n_seg, 3))
         for sidx in range(n_seg):
@@ -295,8 +301,13 @@ def prepare_scene(
     point2seg_v = seg_compact_v  # per original vertex
     point2seg = point2seg_v[mapping]
 
-    # adjacency over compact ids
-    adj = segment_adjacency(raw["faces"], point2seg_v)
+    # adjacency over compact ids (from the mesh-vertex seg ids; identical to
+    # point2seg_v when the cloud is the raw vertex cloud)
+    seg_compact_mesh2 = np.array(
+        [compact_of.get(int(s), 0) for s in mesh_seg], np.int32)
+    if n_seg < len(uniq):  # overflow fold applied above
+        seg_compact_mesh2 = remap[seg_compact_mesh2].astype(np.int32)
+    adj = segment_adjacency(raw["faces"], seg_compact_mesh2)
     adj = adj[(adj[:, 0] < n_seg) & (adj[:, 1] < n_seg)]
     if len(adj) > cfg.max_edges:
         adj = adj[: cfg.max_edges]
@@ -307,7 +318,7 @@ def prepare_scene(
 
     # weak labels: choose segments, label them with GT ins/sem, 0-based / -1
     chosen_raw = generate_weak_seg_ids(
-        raw_seg, raw["real_ins"], segment_adjacency(raw["faces"], raw_seg)
+        raw_seg, raw["real_ins"], segment_adjacency(raw["faces"], mesh_seg)
         if style != "manual" else np.zeros((0, 2), np.int32),
         style=style, manual=manual, rng=rng, **weak_kw,
     )

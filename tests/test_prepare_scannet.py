@@ -151,3 +151,26 @@ def test_prepare_manual_style(tmp_path, rng):
     assert len(labeled) == 4
     # the manually chosen segments carry their instance's semantic class
     assert sorted(npz["weak_sem"][labeled].tolist()) == sorted([0, 4, 6, 5])
+
+
+def test_prepare_rasterized_cold(tmp_path, rng):
+    """--rasterize_dl densifies the mesh before resampling (reference 3 mm
+    rasterization); weak labels and budgets still hold."""
+    make_raw_scene(tmp_path / "scans", "scene0003_00", rng)
+    write_tsv(tmp_path / "labels.tsv")
+    cmd = [sys.executable, "-m", "cli.prepare_scannet",
+           "--scans_dir", str(tmp_path / "scans"),
+           "--tsv", str(tmp_path / "labels.tsv"),
+           "--out", str(tmp_path / "prepared"),
+           "--label_style", "maxseg", "--rasterize_dl", "0.05",
+           "--num_points", "2048", "--max_segments", "64",
+           "--max_edges", "512", "--workers", "1"]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                         env=env, timeout=420)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "prepared 1/1" in res.stdout, res.stdout
+    npz = np.load(tmp_path / "prepared" / "maxseg" / "scene0003_00.npz")
+    assert npz["points"].shape == (2048, 6)
+    assert (npz["weak_ins"] >= 0).sum() == 4
+    assert npz["edge_valid"].sum() > 0  # mesh adjacency survives rasterization

@@ -27,7 +27,8 @@ register("seggroup_gnn")(SegGroupGNN)
 def _register_lazy():
     from seggroup_tpu.models.kpconv import KPCNN as KPCNN_KP
     from seggroup_tpu.models.kpconv import KPFCNN
-    from seggroup_tpu.models.minkunet import VARIANTS, make_minkunet
+    from seggroup_tpu.models.minkunet import (RESUNET_VARIANTS, VARIANTS,
+                                              make_minkunet, make_resunet)
     from seggroup_tpu.models.pointgroup import PointGroup
 
     from seggroup_tpu.models.resnet_sparse import (
@@ -40,6 +41,8 @@ def _register_lazy():
     register("kpcnn_kp")(KPCNN_KP)    # true KPConv-block classifier
     for name in VARIANTS:
         _REGISTRY[name] = (lambda v: lambda **kw: make_minkunet(v, **kw))(name)
+    for name in RESUNET_VARIANTS:
+        _REGISTRY[name] = (lambda v: lambda **kw: make_resunet(v, **kw))(name)
     for name in RESNET_VARIANTS:
         _REGISTRY[name] = (lambda v: lambda **kw: make_sparse_resnet(v, **kw))(name)
 

@@ -289,3 +289,138 @@ def make_minkunet(variant: str = "Res16UNet34C", out_channels: int = 20,
     return MinkUNet(out_channels=out_channels, planes=cfg["planes"],
                     layers=cfg["layers"], block=cfg.get("block", "basic"),
                     **kwargs)
+
+
+class ResUNet(nn.Module):
+    """Legacy ResUNet family (reference minkowski/models/resunet.py:12-260):
+    3 down / 3 up levels with a residual group at FULL resolution before the
+    first stride (unlike Res16UNet), and a 1x1-512 head before the classifier.
+    `plan` (sparse/plan.py, built with 4 level caps) is optional like
+    MinkUNet's."""
+
+    out_channels: int = 20
+    planes: Sequence[int] = (64, 128, 256, 512, 256, 128, 128)
+    layers: Sequence[int] = (2, 2, 2, 2, 2, 2)
+    init_dim: int = 64
+    conv1_kernel_size: int = 3
+    bn_momentum: float = 0.02
+    block: str = "basic"
+    level_caps: Sequence[int] | None = None  # len 4
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = True,
+                 plan: dict | None = None) -> jax.Array:
+        caps = self.level_caps or [
+            st.capacity, st.capacity // 2, st.capacity // 4, st.capacity // 8,
+        ]
+        bm = self.bn_momentum
+        block_cls = {"basic": BasicBlock, "bottleneck": Bottleneck}[self.block]
+        p = self.planes
+
+        def blocks(st_l, n, planes, rb, name, lvl):
+            win = None
+            if plan is not None and "windows" in plan:
+                win = plan["windows"][lvl]
+            for i in range(n):
+                st_l = block_cls(planes, bm, name=f"{name}_{i}")(st_l, rb,
+                                                                 train, win)
+            return st_l
+
+        def rb_of(st_l, lvl):
+            if plan is not None:
+                return plan["rulebooks"][lvl]
+            return build_subm_rulebook(st_l, 3)
+
+        def down(st_l, name, lvl):
+            w = self.param(
+                f"{name}_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in",
+                                                 "truncated_normal"),
+                (8, st_l.channels, st_l.channels),
+            )
+            if plan is not None:
+                return strided_conv_down_planned(st_l, w, plan["down"][lvl])
+            return strided_conv_down(st_l, w, caps[lvl + 1])
+
+        def up(st_l, cout, key, name):
+            w = self.param(
+                f"{name}_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in",
+                                                 "truncated_normal"),
+                (8, st_l.channels, cout),
+            )
+            return inverse_conv_up(st_l, w, key)
+
+        # stem + full-res residual group (resunet.py forward:169-174)
+        if plan is not None and self.conv1_kernel_size == 3:
+            rb0 = plan["rulebooks"][0]
+        else:
+            rb0 = build_subm_rulebook(st, self.conv1_kernel_size)
+        h = SubMConv(self.init_dim, self.conv1_kernel_size, name="conv1")(st, rb0)
+        h = SparseBatchNorm(bm, name="bn1")(h, st.valid, train)
+        cur = st.with_feats(nn.relu(h))
+        rb_full = rb0 if self.conv1_kernel_size == 3 else rb_of(cur, 0)
+        b1 = blocks(cur, self.layers[0], p[0], rb_full, "block1", 0)
+
+        skips, keys, rbs = [b1], [], [rb_full]
+        cur = b1
+        for lvl in range(3):
+            st_dn, key = down(cur, f"conv{lvl+2}s2", lvl)
+            keys.append(key)
+            hh = SparseBatchNorm(bm, name=f"bn{lvl+2}")(st_dn.feats,
+                                                        st_dn.valid, train)
+            st_dn = st_dn.with_feats(nn.relu(hh))
+            rb = rb_of(st_dn, lvl + 1)
+            rbs.append(rb)
+            st_b = blocks(st_dn, self.layers[lvl + 1], p[lvl + 1], rb,
+                          f"block{lvl+2}", lvl + 1)
+            skips.append(st_b)
+            cur = st_b
+
+        for lvl in range(3):
+            key = keys[2 - lvl]
+            skip = skips[2 - lvl]
+            st_up = up(cur, p[4 + lvl], key, f"convtr{lvl+4}s2")
+            hh = SparseBatchNorm(bm, name=f"bntr{lvl+4}")(st_up.feats,
+                                                          st_up.valid, train)
+            st_up = st_up.with_feats(nn.relu(hh))
+            cat = jnp.concatenate([st_up.feats, skip.feats], axis=-1)
+            st_cat = st_up.with_feats(cat)
+            if lvl < 2:  # block5/block6; the last cat feeds the head directly
+                cur = blocks(st_cat, self.layers[4 + lvl], p[4 + lvl],
+                             rbs[2 - lvl], f"block{lvl+5}", 2 - lvl)
+            else:
+                cur = st_cat
+
+        # final head: 1x1-512 + bn + relu + 1x1 classifier (resunet.py:158-168)
+        h = nn.Dense(512, use_bias=False, name="final_fc")(cur.feats)
+        h = SparseBatchNorm(bm, name="final_bn")(h, cur.valid, train)
+        logits = nn.Dense(self.out_channels, use_bias=True,
+                          name="final")(nn.relu(h))
+        return jnp.where(cur.valid[:, None], logits, 0.0)
+
+
+# legacy variants (reference resunet.py:218-260; INBN/instance-norm and 4-D
+# spatio-temporal variants not ported)
+RESUNET_VARIANTS = {
+    "ResUNet14": dict(layers=(1,) * 6),
+    "ResUNet18": dict(layers=(2,) * 6),
+    "ResUNet34": dict(layers=(3, 4, 6, 3, 2, 2)),
+    "ResUNet50": dict(layers=(3, 4, 6, 3, 2, 2), block="bottleneck"),
+    "ResUNet101": dict(layers=(3, 4, 23, 3, 2, 2), block="bottleneck"),
+    "ResUNet14D": dict(layers=(1,) * 6,
+                       planes=(64, 128, 256, 512, 512, 512, 512)),
+    "ResUNet18D": dict(layers=(2,) * 6,
+                       planes=(64, 128, 256, 512, 512, 512, 512)),
+    "ResUNet34D": dict(layers=(3, 4, 6, 3, 2, 2),
+                       planes=(64, 128, 256, 512, 512, 512, 512)),
+}
+
+
+def make_resunet(variant: str = "ResUNet18", out_channels: int = 20,
+                 **kwargs) -> ResUNet:
+    cfg = RESUNET_VARIANTS[variant]
+    return ResUNet(out_channels=out_channels, layers=cfg["layers"],
+                   planes=cfg.get("planes",
+                                  (64, 128, 256, 512, 256, 128, 128)),
+                   block=cfg.get("block", "basic"), **kwargs)

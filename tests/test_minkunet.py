@@ -125,3 +125,38 @@ def test_res16unet101_registry():
     m = get_model("Res16UNet101", out_channels=20)
     assert m.block == "bottleneck"
     assert m.layers[3] == 23
+
+
+@pytest.mark.slow
+def test_legacy_resunet_forward_and_grads(rng):
+    """Legacy ResUNet (reference resunet.py:12-260): full-res residual group
+    before the first stride, 3 down/3 up, 1x1-512 head."""
+    from seggroup_tpu.models import get_model
+
+    st = make_sparse_input(rng, m_cap=128, n=80)
+    model = get_model("ResUNet14", out_channels=8,
+                      level_caps=[128, 64, 32, 16])
+    variables = model.init(jax.random.PRNGKey(0), st, train=False)
+    logits = np.asarray(model.apply(variables, st, train=False))
+    assert logits.shape == (128, 8)
+    assert np.isfinite(logits[:80]).all()
+    assert (logits[80:] == 0).all()
+
+    def loss(p):
+        out, _ = model.apply({"params": p,
+                              "batch_stats": variables["batch_stats"]},
+                             st, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    gn = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(gn)) and sum(x > 0 for x in gn) > len(gn) * 0.8
+
+
+def test_resunet_variants_registered():
+    from seggroup_tpu.models import get_model
+
+    m = get_model("ResUNet50", out_channels=20)
+    assert m.block == "bottleneck"
+    m2 = get_model("ResUNet34D", out_channels=20)
+    assert m2.planes[-1] == 512

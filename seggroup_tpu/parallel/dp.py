@@ -191,3 +191,55 @@ def build_stage1_infer_step(model, mesh: Mesh, mode: str) -> Callable:
             check_vma=False,
         )
     )
+
+
+def build_kpconv_dp_step(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    num_classes: int = 20, dl0: float = 0.04,
+    level_caps=None, neighbor_caps=32, reg_weight: float = 0.1,
+) -> Callable:
+    """KPConv data-parallel train step: each device holds one sphere batch
+    (points/feats/labels/batch_ids/valid with leading axis = mesh size),
+    builds its pyramid ON DEVICE inside the shard, computes local grads,
+    pmeans them. Third stage-2 backbone over the mesh (the reference trains
+    KPConv single-GPU, kpconv/training_Scannet.py:185).
+
+    Call: step(params, stats, opt_state, pts, feats, labels, bids, valid)
+      -> (params, stats, opt_state, summed_loss)."""
+    from seggroup_tpu.models.kpconv import build_pyramid
+
+    def local_loss(params, stats, pts, feats, labels, bids, valid):
+        pyr = build_pyramid(pts, bids, valid, num_layers=5, dl0=dl0,
+                            level_caps=level_caps, neighbor_cap=neighbor_caps)
+        (logits, regs), mut = model.apply(
+            {"params": params, "batch_stats": stats}, pyr, feats, train=True,
+            mutable=["batch_stats"])
+        ok = labels != 255
+        lp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(
+            lp, jnp.clip(labels, 0, num_classes - 1)[:, None], 1)[:, 0]
+        ce = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+        return ce + reg_weight * regs, mut["batch_stats"]
+
+    def step(params, stats, opt_state, pts, feats, labels, bids, valid):
+        pts, feats, labels, bids, valid = jax.tree.map(
+            lambda x: x[0], (pts, feats, labels, bids, valid))
+        (loss, new_stats), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, stats, pts, feats, labels,
+                                      bids, valid)
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, jax.lax.psum(loss, "data")
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
+                      P("data"), P("data")),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )

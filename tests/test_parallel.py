@@ -190,3 +190,66 @@ def test_minkunet_dp_grad_equivalence():
                     jax.tree.leaves(jax.device_get(want))):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_kpconv_dp_grad_equivalence():
+    """DP-pmean'd KPConv update == the mean of serially-computed per-shard
+    gradients (third stage-2 backbone over the mesh)."""
+    import optax
+
+    from seggroup_tpu.models.kpconv import KPFCNN, build_pyramid
+    from seggroup_tpu.parallel.dp import build_kpconv_dp_step
+
+    n_dev = 8
+    n_cap = 256
+    kcaps = [n_cap // 2, n_cap // 4, n_cap // 8, n_cap // 16]
+    model = KPFCNN(num_classes=20, first_features_dim=16, dl0=0.1)
+    rng = np.random.default_rng(0)
+    pts_l, feat_l, lab_l, bid_l, val_l = [], [], [], [], []
+    for d in range(n_dev):
+        pts_l.append(rng.normal(size=(n_cap, 3)).astype(np.float32))
+        feat_l.append(np.ones((n_cap, 4), np.float32))
+        lab_l.append(rng.integers(0, 20, size=n_cap).astype(np.int32))
+        bid_l.append(np.zeros(n_cap, np.int32))
+        val_l.append(np.ones(n_cap, bool))
+
+    pyr0 = build_pyramid(jnp.asarray(pts_l[0]), jnp.asarray(bid_l[0]),
+                         jnp.asarray(val_l[0]), 5, 0.1, level_caps=kcaps)
+    variables = model.init(jax.random.PRNGKey(0), pyr0,
+                           jnp.asarray(feat_l[0]), train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = optax.sgd(1e-1)
+    mesh = make_mesh(n_dev)
+    dp_step = build_kpconv_dp_step(model, opt, mesh, dl0=0.1,
+                                   level_caps=kcaps)
+    stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
+    p1, s1, o1, loss = dp_step(
+        replicate(mesh, params), replicate(mesh, stats),
+        replicate(mesh, opt.init(params)),
+        shard_batch(mesh, stack(pts_l)), shard_batch(mesh, stack(feat_l)),
+        shard_batch(mesh, stack(lab_l)), shard_batch(mesh, stack(bid_l)),
+        shard_batch(mesh, stack(val_l)))
+
+    def loss_fn(p, pts, feats, labels, bids, valid):
+        pyr = build_pyramid(pts, bids, valid, 5, 0.1, level_caps=kcaps)
+        (logits, regs), _ = model.apply(
+            {"params": p, "batch_stats": stats}, pyr, feats, train=True,
+            mutable=["batch_stats"])
+        ok = labels != 255
+        lp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(lp, jnp.clip(labels, 0, 19)[:, None],
+                                   1)[:, 0]
+        return (jnp.sum(jnp.where(ok, nll, 0.0))
+                / jnp.maximum(jnp.sum(ok), 1)) + 0.1 * regs
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    grads = [grad_fn(params, jnp.asarray(pts_l[d]), jnp.asarray(feat_l[d]),
+                     jnp.asarray(lab_l[d]), jnp.asarray(bid_l[d]),
+                     jnp.asarray(val_l[d])) for d in range(n_dev)]
+    mean_grads = jax.tree.map(lambda *g: sum(g) / n_dev, *grads)
+    want = jax.tree.map(lambda p, g: p - 1e-1 * g, params, mean_grads)
+    for a, b in zip(jax.tree.leaves(jax.device_get(p1)),
+                    jax.tree.leaves(jax.device_get(want))):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5)
+    assert np.isfinite(float(loss))

@@ -243,3 +243,60 @@ def build_kpconv_dp_step(
             check_vma=False,
         )
     )
+
+
+def build_pointgroup_dp_step(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    loss_fn: Callable, do_clustering: bool = False,
+    instance_cap: int = 256,
+) -> Callable:
+    """PointGroup data-parallel train step (fourth backbone over the mesh):
+    each device holds one voxelized batch shard (SparseTensor + point arrays
+    + instance targets, leading axis = mesh size) and runs the full
+    PointGroup forward — including device-side dual clustering + ScoreNet
+    when `do_clustering` — locally; grads/batch stats pmean, loss psum.
+    `loss_fn` is models.pointgroup.pointgroup_loss.
+
+    Call: step(params, stats, opt_state, st, p2v, coords, batch_ids, valid,
+               labels, inst, centroid, pointnum, key)
+      -> (params, stats, opt_state, summed_loss)."""
+
+    def local_loss(params, stats, st, p2v, coords, batch_ids, valid,
+                   labels, inst, centroid, pointnum, key):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": stats}, st, p2v, coords,
+            batch_ids, valid, do_clustering=do_clustering, train=True,
+            jitter_rng=key, mutable=["batch_stats"],
+        )
+        total, _aux = loss_fn(
+            out, labels, inst, centroid, pointnum, coords, valid,
+            num_instances_cap=instance_cap, with_score=do_clustering,
+        )
+        return total, mut["batch_stats"]
+
+    def step(params, stats, opt_state, st, p2v, coords, batch_ids, valid,
+             labels, inst, centroid, pointnum, key):
+        local = jax.tree.map(
+            lambda x: x[0],
+            (st, p2v, coords, batch_ids, valid, labels, inst, centroid,
+             pointnum))
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        (loss, new_stats), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, stats, *local, key)
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, jax.lax.psum(loss, "data")
+
+    data = P("data")
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), data, data, data, data, data, data,
+                      data, data, data, P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )

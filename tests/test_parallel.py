@@ -253,3 +253,80 @@ def test_kpconv_dp_grad_equivalence():
                     jax.tree.leaves(jax.device_get(want))):
         np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_pointgroup_dp_grad_equivalence():
+    """DP-pmean'd PointGroup update (clustering ON) == serially-computed
+    mean-gradient step with per-shard folded jitter keys."""
+    import optax
+
+    from seggroup_tpu.models.pointgroup import PointGroup, pointgroup_loss
+    from seggroup_tpu.ops.voxelize import voxel_gather_mean, voxelize
+    from seggroup_tpu.parallel.dp import build_pointgroup_dp_step
+    from seggroup_tpu.sparse.tensor import SparseTensor
+
+    n_dev, npt, vcap, icap = 8, 384, 192, 16
+    model = PointGroup(classes=8, m=8, max_proposals_per_source=16,
+                       score_cap=192, cluster_npoint_thre=10,
+                       cluster_radius=0.3)
+    rng = np.random.default_rng(0)
+    cols = []
+    for d in range(n_dev):
+        coords = rng.uniform(0, 3, size=(npt, 3)).astype(np.float32)
+        labels = rng.integers(2, 6, size=npt).astype(np.int32)
+        inst = rng.integers(0, 4, size=npt).astype(np.int32)
+        bids = np.zeros(npt, np.int32)
+        valid = np.ones(npt, bool)
+        ic = np.floor(coords / 0.1).astype(np.int32); ic -= ic.min(0)
+        vm = voxelize(jnp.asarray(ic), jnp.asarray(bids), jnp.asarray(valid),
+                      vcap)
+        feats = jnp.concatenate([jnp.asarray(
+            rng.normal(size=(npt, 3)).astype(np.float32)),
+            jnp.asarray(coords)], 1)
+        st = SparseTensor(vm.voxel_coords, voxel_gather_mean(feats, vm),
+                          vm.voxel_valid, vm.num_voxels)
+        centroid = np.zeros((npt, 3), np.float32)
+        pointnum = np.zeros(icap, np.int32)
+        for k in range(4):
+            sel = inst == k
+            centroid[sel] = coords[sel].mean(0)
+            pointnum[k] = sel.sum()
+        cols.append((st, vm.point2voxel, jnp.asarray(coords),
+                     jnp.asarray(bids), jnp.asarray(valid),
+                     jnp.asarray(labels), jnp.asarray(inst),
+                     jnp.asarray(centroid), jnp.asarray(pointnum)))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *cols)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), *jax.tree.map(lambda x: x[0], batched[:5]),
+        do_clustering=True, train=True, jitter_rng=jax.random.PRNGKey(0))
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh(n_dev)
+    key = jax.random.PRNGKey(7)
+    dp_step = build_pointgroup_dp_step(model, opt, mesh, pointgroup_loss,
+                                       do_clustering=True, instance_cap=icap)
+    p1, s1, o1, loss = dp_step(
+        replicate(mesh, params), replicate(mesh, stats),
+        replicate(mesh, opt.init(params)),
+        *(shard_batch(mesh, x) for x in batched), key)
+
+    def loss_fn(p, shard, k):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats}, *shard[:5],
+            do_clustering=True, train=True, jitter_rng=k,
+            mutable=["batch_stats"])
+        total, _aux = pointgroup_loss(out, *shard[5:], shard[2], shard[4],
+                                      num_instances_cap=icap, with_score=True)
+        return total
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    grads = [grad_fn(params, jax.tree.map(lambda x: x[d], batched),
+                     jax.random.fold_in(key, d)) for d in range(n_dev)]
+    mean_grads = jax.tree.map(lambda *g: sum(g) / n_dev, *grads)
+    want = jax.tree.map(lambda p, g: p - 1e-2 * g, params, mean_grads)
+    for a, b in zip(jax.tree.leaves(jax.device_get(p1)),
+                    jax.tree.leaves(jax.device_get(want))):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5)
+    assert np.isfinite(float(loss))

@@ -320,7 +320,6 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
 
 def main():
     tpu_pps, tpu_dt = tpu_points_per_sec()            # default: bit-faithful
-    par_pps, par_dt = tpu_points_per_sec(sequential=False)
     fast_pps, fast_dt = tpu_points_per_sec(sequential=False, fast_knn=True)
     base_pps, base_dt = baseline_points_per_sec()
     s2_device, s2_pipe = stage2_minkunet_s_per_iter()
@@ -336,8 +335,6 @@ def main():
                 "detail": {
                     "tpu_s_per_scene": round(tpu_dt, 3),
                     "grouping_mode": "sequential (bit-faithful default)",
-                    "tpu_s_per_scene_parallel_grouping": round(par_dt, 3),
-                    "parallel_grouping_points_per_sec": round(par_pps, 1),
                     "tpu_s_per_scene_fast_mode": round(fast_dt, 3),
                     "fast_mode_points_per_sec": round(fast_pps, 1),
                     "fast_mode": "parallel grouping + approx top-k kNN "

@@ -86,6 +86,9 @@ def main():
     from seggroup_tpu.sparse.plan import build_unet_plan
     from seggroup_tpu.sparse.tensor import SparseTensor
     from seggroup_tpu.utils.checkpoint import CheckpointManager
+    from seggroup_tpu.parallel.dp import (build_minkunet_dp_step,
+                                          make_mesh, replicate,
+                                          shard_batch)
     from seggroup_tpu.utils.prefetch import HostPrefetcher
     from seggroup_tpu.utils.tb import ScalarWriter
 
@@ -183,28 +186,73 @@ def main():
             hist += np.asarray(eval_step(params, stats, st, labels, plan))
         return miou_from_confusion(hist)[0]
 
-    prefetch = HostPrefetcher(lambda s: make_batch(s + 1, train_idx, True),
-                              depth=2, workers=args.prefetch_workers)
+    # data parallelism over a device mesh (--num_devices > 1): each device
+    # gets its own batch_size-scene voxel batch, DP step pmeans grads
+    # (reference trains this single-GPU; parallel/dp.py capability)
+    n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
+    dp = None
+    dp_mesh = None
+    if n_dev > 1:
+        dp_mesh = mesh = make_mesh(n_dev)
+        dp = build_minkunet_dp_step(model, opt, mesh,
+                                    num_classes=args.num_classes)
+        params = replicate(mesh, params)
+        stats = replicate(mesh, stats)
+        opt_state = replicate(mesh, opt_state)
+        io.cprint(f"data parallel over {n_dev} devices "
+                  f"({args.batch_size} scenes/device)")
+
+        def make_batch_dp(step, idx_pool, augment):
+            cols = [make_batch(step * n_dev + d + 1, idx_pool, augment)
+                    for d in range(n_dev)]
+            vbs, plans = zip(*cols)
+            return vbs, plans
+
+        prefetch = HostPrefetcher(
+            lambda s: make_batch_dp(s, train_idx, True), depth=2,
+            workers=args.prefetch_workers)
+    else:
+        prefetch = HostPrefetcher(
+            lambda s: make_batch(s + 1, train_idx, True), depth=2,
+            workers=args.prefetch_workers)
     hist_acc = np.zeros((args.num_classes, args.num_classes))
     best_val = -1.0
     t_window = time.time()
     it_window = 0
     try:
         for it in range(1, args.max_iter + 1):
-            vb, plan = next(prefetch)
-            st, labels, plan = to_device(vb, plan)
-            params, stats, opt_state, loss, hist = train_step(
-                params, stats, opt_state, st, labels, plan)
+            if dp is not None:
+                vbs, plans = next(prefetch)
+                devbatch = [to_device(v, pl) for v, pl in zip(vbs, plans)]
+                st_b, lab_b, plan_b = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *devbatch)
+                params, stats, opt_state, loss = dp(
+                    params, stats, opt_state,
+                    shard_batch(dp_mesh, st_b),
+                    shard_batch(dp_mesh, lab_b),
+                    shard_batch(dp_mesh, plan_b))
+                loss = loss / n_dev
+                hist = np.zeros((args.num_classes, args.num_classes))
+            else:
+                vb, plan = next(prefetch)
+                st, labels, plan = to_device(vb, plan)
+                params, stats, opt_state, loss, hist = train_step(
+                    params, stats, opt_state, st, labels, plan)
             hist_acc += np.asarray(hist)
             if it % 10 == 0 or it == args.max_iter:
-                miou, _ = miou_from_confusion(hist_acc)
+                # the DP step pmeans grads but does not gather the train
+                # confusion matrix; running mIoU comes from validation there
+                miou, _ = (miou_from_confusion(hist_acc) if dp is None
+                           else (float("nan"), None))
+                miou_txt = f"{100 * miou:.2f}%" if miou == miou else "n/a (dp)"
                 io.cprint(
-                    "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"
-                    % (it, args.max_iter, float(loss), 100 * miou,
+                    "iter %d/%d  loss %.4f  running mIoU %s  lr %.4g  (%.2fs/it)"
+                    % (it, args.max_iter, float(loss), miou_txt,
                        schedule(it),
                        (time.time() - t_window) / max(1, it - it_window)))
                 tb.add_scalar("train/loss", float(loss), it)
-                tb.add_scalar("train/miou", 100 * miou, it)
+                if miou == miou:
+                    tb.add_scalar("train/miou", 100 * miou, it)
                 tb.add_scalar("train/lr", float(schedule(it)), it)
                 t_window = time.time()
                 it_window = it

@@ -73,3 +73,8 @@ def test_stage2_consumes_pseudo_labels(workdir):
         "--save_freq", "3"], workdir)
     log = open(os.path.join(workdir, "checkpoints/e2e/pointgroup.log")).read()
     assert "saved step 3" in log
+    assert "val loss" in log  # validation ran with best-ckpt tracking
+    mlog = open(os.path.join(workdir, "checkpoints/e2e/minkunet.log")).read()
+    assert "val mIoU" in mlog
+    assert os.path.exists(os.path.join(workdir,
+                                       "checkpoints/e2e/minkunet_best"))

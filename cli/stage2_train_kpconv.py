@@ -167,6 +167,20 @@ def main():
     best_ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
                                                "kpconv_best"))
 
+    # reference trainer.py:119-152: 0.1x LR on deformable offset convs
+    # + independent per-variable gradient clipping (shared by the single-
+    # device step and the DP step's grad_transform)
+    def per_var_grads(grads):
+        def per_var(path, g):
+            is_offset = any("offset_kernel" in str(getattr(k, "key", k))
+                            for k in path)
+            if is_offset:
+                g = g * args.offset_lr_scale
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-12)
+            return g * jnp.minimum(1.0, args.grad_clip_norm / norm)
+
+        return jax.tree_util.tree_map_with_path(per_var, grads)
+
     @jax.jit
     def step(params, stats, opt_state, pyr, feats, labels):
         def loss_fn(p):
@@ -183,17 +197,7 @@ def main():
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        # reference trainer.py:119-152: 0.1x LR on deformable offset convs
-        # + independent per-variable gradient clipping
-        def per_var(path, g):
-            is_offset = any("offset_kernel" in str(getattr(k, "key", k))
-                            for k in path)
-            if is_offset:
-                g = g * args.offset_lr_scale
-            norm = jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-12)
-            return g * jnp.minimum(1.0, args.grad_clip_norm / norm)
-
-        grads = jax.tree_util.tree_map_with_path(per_var, grads)
+        grads = per_var_grads(grads)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         acc = jnp.sum((jnp.argmax(logits, -1) == labels) & (labels != 255)) \
@@ -249,21 +253,55 @@ def main():
             tot += int(ok.sum())
         return hits / max(tot, 1)
 
+    # data parallelism over a device mesh (--num_devices > 1): one sphere
+    # batch per device, pyramid built in-shard, pmean'd grads with the same
+    # per-variable transform (parallel/dp.py; the reference is single-GPU)
+    n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
+    dp = None
+    if n_dev > 1:
+        from seggroup_tpu.parallel.dp import (build_kpconv_dp_step, make_mesh,
+                                              replicate, shard_batch)
+
+        dp_mesh = make_mesh(n_dev)
+        dp = build_kpconv_dp_step(
+            model, opt, dp_mesh, num_classes=args.num_classes, dl0=args.dl0,
+            level_caps=caps, neighbor_caps=nbr_caps,
+            reg_weight=args.offset_loss_weight, grad_transform=per_var_grads)
+        params = replicate(dp_mesh, params)
+        stats = replicate(dp_mesh, stats)
+        opt_state = replicate(dp_mesh, opt_state)
+        io.cprint(f"data parallel over {n_dev} devices")
+
     best_val = -1.0
     t0 = time.time()
     for it in range(1, args.steps + 1):
-        pts, feats, labs, bids, valid = sample_batch(sampler)
-        pyr = make_pyramid(jnp.asarray(pts), jnp.asarray(bids),
-                           jnp.asarray(valid))
-        params, stats, opt_state, loss, acc = step(
-            params, stats, opt_state, pyr, jnp.asarray(feats),
-            jnp.asarray(labs))
+        if dp is not None:
+            cols = [sample_batch(sampler) for _ in range(n_dev)]
+            stacks = [jnp.stack([jnp.asarray(c[j]) for c in cols])
+                      for j in range(5)]
+            params, stats, opt_state, loss = dp(
+                params, stats, opt_state,
+                shard_batch(dp_mesh, stacks[0]), shard_batch(dp_mesh, stacks[1]),
+                shard_batch(dp_mesh, stacks[2]), shard_batch(dp_mesh, stacks[3]),
+                shard_batch(dp_mesh, stacks[4]))
+            loss = loss / n_dev
+            acc = float("nan")
+        else:
+            pts, feats, labs, bids, valid = sample_batch(sampler)
+            pyr = make_pyramid(jnp.asarray(pts), jnp.asarray(bids),
+                               jnp.asarray(valid))
+            params, stats, opt_state, loss, acc = step(
+                params, stats, opt_state, pyr, jnp.asarray(feats),
+                jnp.asarray(labs))
         if it % 10 == 0 or it == args.steps:
-            io.cprint("step %d/%d  loss %.4f  acc %.2f%%  (%.2fs/it)"
-                      % (it, args.steps, float(loss), 100 * float(acc),
+            acc_txt = ("%.2f%%" % (100 * float(acc))
+                       if acc == acc else "n/a (dp)")
+            io.cprint("step %d/%d  loss %.4f  acc %s  (%.2fs/it)"
+                      % (it, args.steps, float(loss), acc_txt,
                          (time.time() - t0) / it))
             tb.add_scalar("train/loss", float(loss), it)
-            tb.add_scalar("train/acc", 100 * float(acc), it)
+            if acc == acc:
+                tb.add_scalar("train/acc", 100 * float(acc), it)
         if should_stop(args.exp_name):
             io.cprint('STOP file found — saving and exiting')
             ckpt.save(it, {"params": jax.device_get(params),

@@ -197,12 +197,17 @@ def build_kpconv_dp_step(
     model, optimizer: optax.GradientTransformation, mesh: Mesh,
     num_classes: int = 20, dl0: float = 0.04,
     level_caps=None, neighbor_caps=32, reg_weight: float = 0.1,
+    grad_transform: Callable | None = None,
 ) -> Callable:
     """KPConv data-parallel train step: each device holds one sphere batch
     (points/feats/labels/batch_ids/valid with leading axis = mesh size),
     builds its pyramid ON DEVICE inside the shard, computes local grads,
     pmeans them. Third stage-2 backbone over the mesh (the reference trains
     KPConv single-GPU, kpconv/training_Scannet.py:185).
+
+    `grad_transform` (optional) maps the local grad tree before the pmean
+    (the trainer's per-variable clip + offset-LR scale,
+    reference trainer.py:119-152).
 
     Call: step(params, stats, opt_state, pts, feats, labels, bids, valid)
       -> (params, stats, opt_state, summed_loss)."""
@@ -227,6 +232,8 @@ def build_kpconv_dp_step(
         (loss, new_stats), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, stats, pts, feats, labels,
                                       bids, valid)
+        if grad_transform is not None:
+            grads = grad_transform(grads)
         grads = jax.lax.pmean(grads, "data")
         new_stats = jax.lax.pmean(new_stats, "data")
         updates, opt_state = optimizer.update(grads, opt_state)

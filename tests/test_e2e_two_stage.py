@@ -78,3 +78,18 @@ def test_stage2_consumes_pseudo_labels(workdir):
     assert "val mIoU" in mlog
     assert os.path.exists(os.path.join(workdir,
                                        "checkpoints/e2e/minkunet_best"))
+
+
+@pytest.mark.slow
+def test_kpconv_trainer_smoke(workdir):
+    """KPConv trainer end-to-end via subprocess: calibration line, training
+    steps, vote-smoothed validation with best checkpoint."""
+    run(["cli.stage2_train_kpconv", "--synthetic", "3", "--exp_name", "kpe2e",
+         "--data_root", "unused", "--steps", "2", "--point_cap", "1024",
+         "--batch_size", "1", "--save_freq", "2", "--calib_batches", "1"],
+        workdir)
+    log = open(os.path.join(workdir, "checkpoints/kpe2e/kpconv.log")).read()
+    assert "calibrated neighbor caps" in log
+    assert "val acc" in log
+    assert os.path.exists(os.path.join(workdir,
+                                       "checkpoints/kpe2e/kpconv_best"))

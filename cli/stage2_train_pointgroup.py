@@ -173,21 +173,60 @@ def main():
         return float(np.mean(losses))
 
     steps = {False: make_step(False), True: make_step(True)}
+    # data parallelism over a device mesh (--num_devices > 1): one voxelized
+    # batch per device through parallel/dp.py (reference is single-GPU)
+    n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
+    dp_steps = None
+    if n_dev > 1:
+        from seggroup_tpu.parallel.dp import (build_pointgroup_dp_step,
+                                              make_mesh, replicate,
+                                              shard_batch)
+
+        dp_mesh = make_mesh(n_dev)
+        dp_steps = {
+            c: build_pointgroup_dp_step(model, opt, dp_mesh, pointgroup_loss,
+                                        do_clustering=c,
+                                        instance_cap=args.instance_cap)
+            for c in (False, True)
+        }
+        params = replicate(dp_mesh, params)
+        stats = replicate(dp_mesh, stats)
+        opt_state = replicate(dp_mesh, opt_state)
+        io.cprint(f"data parallel over {n_dev} devices")
+
     key = jax.random.PRNGKey(args.seed + 1)
     best_val = float("inf")
     t0 = time.time()
     for it in range(1, args.steps + 1):
-        hb = sample_batch()
-        st, p2v = to_device(hb)
         key, sub = jax.random.split(key)
         clustering = it > args.prepare_steps
-        params, stats, opt_state, loss, aux = steps[clustering](
-            params, stats, opt_state, st, p2v, jnp.asarray(hb.coords),
-            jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
-            jnp.asarray(hb.labels), jnp.asarray(hb.instance_labels),
-            jnp.asarray(hb.instance_centroid), jnp.asarray(hb.instance_pointnum),
-            sub,
-        )
+        if dp_steps is not None:
+            cols = []
+            for _ in range(n_dev):
+                hb = sample_batch()
+                st, p2v = to_device(hb)
+                cols.append((st, p2v, jnp.asarray(hb.coords),
+                             jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
+                             jnp.asarray(hb.labels),
+                             jnp.asarray(hb.instance_labels),
+                             jnp.asarray(hb.instance_centroid),
+                             jnp.asarray(hb.instance_pointnum)))
+            batched = jax.tree.map(lambda *xs: jnp.stack(xs), *cols)
+            params, stats, opt_state, loss = dp_steps[clustering](
+                params, stats, opt_state,
+                *(shard_batch(dp_mesh, x) for x in batched), sub)
+            loss = loss / n_dev
+            aux = {}
+        else:
+            hb = sample_batch()
+            st, p2v = to_device(hb)
+            params, stats, opt_state, loss, aux = steps[clustering](
+                params, stats, opt_state, st, p2v, jnp.asarray(hb.coords),
+                jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
+                jnp.asarray(hb.labels), jnp.asarray(hb.instance_labels),
+                jnp.asarray(hb.instance_centroid),
+                jnp.asarray(hb.instance_pointnum), sub,
+            )
         if it % 10 == 0 or it == args.steps:
             parts = "  ".join(f"{k} {float(v):.4f}" for k, v in aux.items())
             io.cprint("step %d/%d  loss %.4f  %s  (%.2fs/it)"

@@ -257,30 +257,80 @@ inline uint64_t pack_bxyz(int32_t b, int32_t x, int32_t y, int32_t z) {
 // rows valid. out_nbr: capacity*27 int32; absent neighbors (and padding rows)
 // get `capacity`. Offset order matches ops kernel_offsets(3): k = (dx+1)*9 +
 // (dy+1)*3 + (dz+1).
+//
+// Fast path: when the valid rows are lexicographically sorted by (b,x,y,z)
+// (true for every level our pipeline produces — voxelize_scene lexsorts and
+// downsample_plan emits sorted coords), each kernel offset is a MERGE JOIN of
+// two sorted key streams: the query keys (rows shifted by the offset) are
+// themselves sorted, so one forward-moving pointer resolves all n lookups
+// with purely sequential memory access. 27 linear merges beat 27n random
+// hash probes ~10x at 2^19 voxels (the probes miss cache on nearly every
+// lookup). Unsorted input falls back to the open-addressing table.
 void subm_rulebook3(const int32_t* coords, int64_t n, int64_t capacity,
                     int32_t* out_nbr) {
-    VoxelTable table(n);
-    for (int64_t i = 0; i < n; ++i)
-        table.insert(pack_bxyz(coords[4 * i], coords[4 * i + 1],
-                               coords[4 * i + 2], coords[4 * i + 3]),
-                     (int32_t)i);
     const int32_t M = (int32_t)capacity;
+    std::vector<uint64_t> keys((size_t)n);
+    bool sorted = true;
     for (int64_t i = 0; i < n; ++i) {
-        int32_t b = coords[4 * i], x = coords[4 * i + 1],
-                y = coords[4 * i + 2], z = coords[4 * i + 3];
-        int32_t* row = out_nbr + 27 * i;
-        int k = 0;
-        for (int dx = -1; dx <= 1; ++dx)
-            for (int dy = -1; dy <= 1; ++dy)
-                for (int dz = -1; dz <= 1; ++dz, ++k) {
-                    int32_t qx = x + dx, qy = y + dy, qz = z + dz;
-                    if (qx < 0 || qy < 0 || qz < 0) {
-                        row[k] = M;
-                        continue;
-                    }
-                    int32_t j = table.find(pack_bxyz(b, qx, qy, qz));
-                    row[k] = j < 0 ? M : j;
+        keys[i] = pack_bxyz(coords[4 * i], coords[4 * i + 1],
+                            coords[4 * i + 2], coords[4 * i + 3]);
+        if (i > 0 && keys[i] <= keys[i - 1]) sorted = false;
+    }
+    if (sorted) {
+        // one merge pass per (dx,dy) group resolves all three dz offsets:
+        // the query keys q-1, q, q+1 are consecutive, so after advancing the
+        // pointer to the first key >= q-1 the three candidates sit at
+        // j, j+1, j+2.  Query keys are increasing over i (adding the packed
+        // offset preserves lex order except where a field underflows —
+        // qx/qy < 0 rows are skipped; coords < 2^14 so no field overflow).
+        for (int g = 0; g < 9; ++g) {
+            const int dx = g / 3 - 1, dy = g % 3 - 1;
+            const int64_t delta =
+                ((int64_t)dx << 32) + ((int64_t)dy << 16);
+            int64_t j = 0;
+            for (int64_t i = 0; i < n; ++i) {
+                int32_t* row = out_nbr + 27 * i + 3 * g;
+                if ((dx < 0 && coords[4 * i + 1] == 0) ||
+                    (dy < 0 && coords[4 * i + 2] == 0)) {
+                    row[0] = row[1] = row[2] = M;
+                    continue;
                 }
+                const uint64_t q = keys[i] + (uint64_t)delta;  // dz = 0 key
+                const uint64_t q_lo = q == 0 ? 0 : q - 1;  // no wraparound
+                while (j < n && keys[j] < q_lo) ++j;
+                int64_t p = j;
+                bool hit_lo = p < n && keys[p] == q_lo && q != 0;
+                // dz = -1 absent when z == 0 (z-1 underflows the field; a
+                // numeric q-1 match would borrow into the y field, which no
+                // real key has — but skip it explicitly regardless)
+                row[0] = (hit_lo && coords[4 * i + 3] != 0) ? (int32_t)p : M;
+                if (hit_lo) ++p;
+                bool hit_mid = p < n && keys[p] == q;
+                row[1] = hit_mid ? (int32_t)p : M;
+                if (hit_mid) ++p;
+                row[2] = (p < n && keys[p] == q + 1) ? (int32_t)p : M;
+            }
+        }
+    } else {
+        VoxelTable table(n);
+        for (int64_t i = 0; i < n; ++i) table.insert(keys[i], (int32_t)i);
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t b = coords[4 * i], x = coords[4 * i + 1],
+                    y = coords[4 * i + 2], z = coords[4 * i + 3];
+            int32_t* row = out_nbr + 27 * i;
+            int k = 0;
+            for (int dx = -1; dx <= 1; ++dx)
+                for (int dy = -1; dy <= 1; ++dy)
+                    for (int dz = -1; dz <= 1; ++dz, ++k) {
+                        int32_t qx = x + dx, qy = y + dy, qz = z + dz;
+                        if (qx < 0 || qy < 0 || qz < 0) {
+                            row[k] = M;
+                            continue;
+                        }
+                        int32_t j = table.find(pack_bxyz(b, qx, qy, qz));
+                        row[k] = j < 0 ? M : j;
+                    }
+        }
     }
     for (int64_t i = n; i < capacity; ++i)
         for (int k = 0; k < 27; ++k) out_nbr[27 * i + k] = M;
@@ -302,23 +352,33 @@ int64_t subm_windows(const int32_t* rulebook, int64_t capacity, int64_t tile,
     int64_t overflow = 0;
     const int32_t M = (int32_t)capacity;
     for (int64_t t = 0; t < n_tiles; ++t) {
-        for (int g = 0; g < 9; ++g) {
-            int32_t lo = M;
-            for (int64_t i = t * tile; i < (t + 1) * tile; ++i)
+        // pass 1: per-group window minima, one sequential sweep of the tile
+        int32_t lo[9];
+        for (int g = 0; g < 9; ++g) lo[g] = M;
+        for (int64_t i = t * tile; i < (t + 1) * tile; ++i) {
+            const int32_t* row = rulebook + 27 * i;
+            for (int g = 0; g < 9; ++g)
                 for (int dz = 0; dz < 3; ++dz) {
-                    int32_t v = rulebook[27 * i + 3 * g + dz];
-                    if (v < M && v < lo) lo = v;
+                    int32_t v = row[3 * g + dz];
+                    if (v < lo[g]) lo[g] = v;
                 }
-            // 16-aligned: bf16 VMEM tiling is (16, 128) and DMA row starts
-            // must be provably tile-aligned
-            int32_t base = (lo == M) ? 0 : (lo & ~15);
-            out_base[9 * t + g] = base;
-            for (int64_t i = 0; i < tile; ++i)
+        }
+        // 16-aligned: bf16 VMEM tiling is (16, 128) and DMA row starts
+        // must be provably tile-aligned
+        int32_t base[9];
+        for (int g = 0; g < 9; ++g) {
+            base[g] = (lo[g] == M) ? 0 : (lo[g] & ~15);
+            out_base[9 * t + g] = base[g];
+        }
+        // pass 2: rewrite to window-local, second sequential sweep
+        for (int64_t i = 0; i < tile; ++i) {
+            const int32_t* row = rulebook + 27 * (t * tile + i);
+            for (int g = 0; g < 9; ++g)
                 for (int dz = 0; dz < 3; ++dz) {
-                    int32_t v = rulebook[27 * (t * tile + i) + 3 * g + dz];
+                    int32_t v = row[3 * g + dz];
                     int32_t loc = (int32_t)window;
                     if (v < M) {
-                        int32_t d = v - base;
+                        int32_t d = v - base[g];
                         if (d >= 0 && d < (int32_t)window) loc = d;
                         else ++overflow;
                     }
@@ -338,33 +398,147 @@ int64_t downsample_plan(const int32_t* coords, int64_t n, int64_t cap_out,
                         int32_t* out_coords, int32_t* out_row,
                         int32_t* out_delta) {
     std::vector<uint64_t> keys((size_t)n);
+    bool sorted = true;
     for (int64_t i = 0; i < n; ++i) {
         keys[i] = pack_bxyz(coords[4 * i], coords[4 * i + 1] >> 1,
                             coords[4 * i + 2] >> 1, coords[4 * i + 3] >> 1);
+        if (i > 0 && keys[i] < keys[i - 1]) sorted = false;
         out_delta[i] = (coords[4 * i + 1] & 1) * 4 +
                        (coords[4 * i + 2] & 1) * 2 + (coords[4 * i + 3] & 1);
     }
-    std::vector<uint64_t> uniq(keys);
-    std::sort(uniq.begin(), uniq.end());
-    uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
-    int64_t m = (int64_t)uniq.size();
-    int64_t m_kept = m < cap_out ? m : cap_out;
-    for (int64_t j = 0; j < m_kept; ++j) {
-        uint64_t k = uniq[j];
-        out_coords[4 * j] = (int32_t)((k >> 48) & 0xffff);
-        out_coords[4 * j + 1] = (int32_t)((k >> 32) & 0xffff);
-        out_coords[4 * j + 2] = (int32_t)((k >> 16) & 0xffff);
-        out_coords[4 * j + 3] = (int32_t)(k & 0xffff);
+    int64_t m_kept;
+    if (sorted) {
+        // lex-sorted fine coords stay sorted after halving (x>>1 is
+        // monotone), so unique + rank is one linear pass — no sort, no
+        // binary searches.
+        int64_t m = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            if (m == 0 || keys[i] != keys[i - 1]) {
+                if (m < cap_out) {
+                    uint64_t k = keys[i];
+                    out_coords[4 * m] = (int32_t)((k >> 48) & 0xffff);
+                    out_coords[4 * m + 1] = (int32_t)((k >> 32) & 0xffff);
+                    out_coords[4 * m + 2] = (int32_t)((k >> 16) & 0xffff);
+                    out_coords[4 * m + 3] = (int32_t)(k & 0xffff);
+                }
+                ++m;
+            }
+            out_row[i] = m - 1 < cap_out ? (int32_t)(m - 1) : (int32_t)cap_out;
+        }
+        m_kept = m < cap_out ? m : cap_out;
+    } else {
+        std::vector<uint64_t> uniq(keys);
+        std::sort(uniq.begin(), uniq.end());
+        uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+        int64_t m = (int64_t)uniq.size();
+        m_kept = m < cap_out ? m : cap_out;
+        for (int64_t j = 0; j < m_kept; ++j) {
+            uint64_t k = uniq[j];
+            out_coords[4 * j] = (int32_t)((k >> 48) & 0xffff);
+            out_coords[4 * j + 1] = (int32_t)((k >> 32) & 0xffff);
+            out_coords[4 * j + 2] = (int32_t)((k >> 16) & 0xffff);
+            out_coords[4 * j + 3] = (int32_t)(k & 0xffff);
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t pos = std::lower_bound(uniq.begin(), uniq.end(), keys[i]) -
+                          uniq.begin();
+            out_row[i] = pos < cap_out ? (int32_t)pos : (int32_t)cap_out;
+        }
     }
     for (int64_t j = m_kept; j < cap_out; ++j)
         out_coords[4 * j] = out_coords[4 * j + 1] = out_coords[4 * j + 2] =
             out_coords[4 * j + 3] = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        int64_t pos = std::lower_bound(uniq.begin(), uniq.end(), keys[i]) -
-                      uniq.begin();
-        out_row[i] = pos < cap_out ? (int32_t)pos : (int32_t)cap_out;
-    }
     return m_kept;
+}
+
+// ---------------------------------------------------------------------------
+// Batch-assembly kernels (host side of data/voxel_dataset.py +
+// data/transforms.py — VERDICT round-1 item 1: the stage-2 pipeline was
+// host-bound in python/numpy/scipy; these move the two hot loops of
+// make_voxel_batch into C++).
+
+// Trilinear sampling of a blurred noise grid at point locations, applied as
+// a displacement (reference elastic distortion, minkowski lib/transforms.py:
+// 203-235). Grid axis d has `dims[d]` samples at spacing `granularity`
+// starting at -granularity relative to the cloud minimum, so the grid index
+// of point p is p/granularity + 1 (always interior by construction of dims).
+// coords is modified IN PLACE: coords += magnitude * noise(coords).
+void elastic_interp(float* coords, int64_t n, const float* mins,
+                    float granularity, float magnitude, const float* noise,
+                    const int32_t* dims) {
+    const int64_t sy = (int64_t)dims[2] * 3;  // row strides of (dx,dy,dz,3)
+    const int64_t sx = (int64_t)dims[1] * sy;
+    const float inv_g = 1.0f / granularity;
+    for (int64_t i = 0; i < n; ++i) {
+        float f[3], w[3];
+        int64_t i0[3];
+        for (int d = 0; d < 3; ++d) {
+            f[d] = (coords[3 * i + d] - mins[d]) * inv_g + 1.0f;
+            if (f[d] < 0.0f) f[d] = 0.0f;
+            float fl = std::floor(f[d]);
+            i0[d] = (int64_t)fl;
+            if (i0[d] > dims[d] - 2) i0[d] = dims[d] - 2;
+            w[d] = f[d] - (float)i0[d];
+        }
+        const float* base = noise + i0[0] * sx + i0[1] * sy + i0[2] * 3;
+        float wx1 = w[0], wx0 = 1.0f - wx1;
+        float wy1 = w[1], wy0 = 1.0f - wy1;
+        float wz1 = w[2], wz0 = 1.0f - wz1;
+        for (int c = 0; c < 3; ++c) {
+            float v000 = base[c], v001 = base[3 + c];
+            float v010 = base[sy + c], v011 = base[sy + 3 + c];
+            float v100 = base[sx + c], v101 = base[sx + 3 + c];
+            float v110 = base[sx + sy + c], v111 = base[sx + sy + 3 + c];
+            float v = wx0 * (wy0 * (wz0 * v000 + wz1 * v001) +
+                             wy1 * (wz0 * v010 + wz1 * v011)) +
+                      wx1 * (wy0 * (wz0 * v100 + wz1 * v101) +
+                             wy1 * (wz0 * v110 + wz1 * v111));
+            coords[3 * i + c] += magnitude * v;
+        }
+    }
+}
+
+// Fused voxelize for one scene: floor-quantize at voxel_size, shift to
+// non-negative, dedup into lexicographically sorted voxels with the
+// FIRST-point (minimum index) representative per voxel (ME.sparse_quantize
+// behaviour, reference lib/voxelizer.py:133). Replaces the numpy
+// floor/min/unique/lexsort/scatter chain in voxelize_scene. Returns m.
+// out_ic: n*3 (valid m rows, sorted); out_first: n (valid m); out_p2v: n.
+int64_t voxelize_sorted(const float* pts, int64_t n, float voxel_size,
+                        int32_t* out_ic, int32_t* out_first,
+                        int32_t* out_p2v) {
+    // true division (not reciprocal-multiply): bit-matches numpy's
+    // float32 `coords / voxel_size` on cell-boundary points
+    std::vector<int32_t> ic((size_t)n * 3);
+    int32_t mn[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+    for (int64_t i = 0; i < n; ++i)
+        for (int d = 0; d < 3; ++d) {
+            int32_t v = (int32_t)std::floor(pts[3 * i + d] / voxel_size);
+            ic[3 * i + d] = v;
+            if (v < mn[d]) mn[d] = v;
+        }
+    // (key, index) pairs sorted ascending: first element of each key run is
+    // the minimum original index = the scene's first point in that voxel
+    std::vector<std::pair<uint64_t, int32_t>> kv((size_t)n);
+    for (int64_t i = 0; i < n; ++i)
+        kv[i] = {pack_bxyz(0, ic[3 * i] - mn[0], ic[3 * i + 1] - mn[1],
+                           ic[3 * i + 2] - mn[2]),
+                 (int32_t)i};
+    std::sort(kv.begin(), kv.end());
+    int64_t m = -1;
+    uint64_t prev = ~0ull;
+    for (int64_t s = 0; s < n; ++s) {
+        if (s == 0 || kv[s].first != prev) {
+            ++m;
+            prev = kv[s].first;
+            out_ic[3 * m] = (int32_t)((prev >> 32) & 0xffff);
+            out_ic[3 * m + 1] = (int32_t)((prev >> 16) & 0xffff);
+            out_ic[3 * m + 2] = (int32_t)(prev & 0xffff);
+            out_first[m] = kv[s].second;
+        }
+        out_p2v[kv[s].second] = (int32_t)m;
+    }
+    return m + 1;
 }
 
 // Union-find connected components over an edge list. labels: n int32 (min

@@ -45,6 +45,8 @@ def elastic_distortion(coords: np.ndarray, rng: np.random.Generator,
     reference's ones(3)/3 convolve passes; a symmetric kernel makes convolve
     == correlate) — scipy.ndimage.convolve with float64 weights upcasts the
     whole field and was ~20x slower on 150k-point scenes."""
+    from seggroup_tpu import native
+
     mins = coords.min(0)
     dims = ((coords - mins).max(0) // granularity).astype(int) + 3
     noise = rng.standard_normal(size=(*dims, 3), dtype=np.float32)
@@ -53,6 +55,12 @@ def elastic_distortion(coords: np.ndarray, rng: np.random.Generator,
         for axis in range(3):
             noise = scipy.ndimage.correlate1d(noise, k, axis=axis,
                                               mode="constant")
+    # trilinear sampling runs in C++ when available (~20x over the generic
+    # RegularGridInterpolator on 150k-point scenes; same math — the grid is
+    # regular with spacing `granularity` starting at -granularity)
+    out = native.elastic_interp(coords, mins, granularity, magnitude, noise)
+    if out is not None:
+        return out
     ax = [np.linspace(-granularity, granularity * (d - 2), d) for d in dims]
     interp = scipy.interpolate.RegularGridInterpolator(
         ax, noise, bounds_error=False, fill_value=0

@@ -42,6 +42,11 @@ def voxelize_scene(coords: np.ndarray, colors: np.ndarray, labels: np.ndarray,
     back to the global gather — just slower)."""
     from seggroup_tpu import native
 
+    fused = native.voxelize_sorted(coords, voxel_size)
+    if fused is not None:
+        ic_s, first, p2v = fused
+        return ic_s, colors[first], labels[first], p2v
+
     ic = np.floor(coords / voxel_size).astype(np.int32)
     ic -= ic.min(0)
     p2v, vc = native.voxelize_rulebook(ic, np.zeros(len(ic), np.int32))

@@ -63,6 +63,13 @@ def get_lib():
         lib.subm_windows.restype = ctypes.c_int64
         lib.subm_windows.argtypes = [c_i32, ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int64, c_i32, c_i32]
+        lib.elastic_interp.restype = None
+        lib.elastic_interp.argtypes = [c_f32, ctypes.c_int64, c_f32,
+                                       ctypes.c_float, ctypes.c_float,
+                                       c_f32, c_i32]
+        lib.voxelize_sorted.restype = ctypes.c_int64
+        lib.voxelize_sorted.argtypes = [c_f32, ctypes.c_int64,
+                                        ctypes.c_float, c_i32, c_i32, c_i32]
         _lib = lib
     return _lib
 
@@ -267,6 +274,48 @@ def downsample_plan(coords: np.ndarray, n: int, cap_out: int):
     out_row = np.full(n_in, cap_out, np.int32)
     out_row[:n] = np.where(inv < cap_out, inv, cap_out)
     return out_c, m, out_row, delta
+
+
+def elastic_interp(coords: np.ndarray, mins: np.ndarray, granularity: float,
+                   magnitude: float, noise: np.ndarray) -> np.ndarray | None:
+    """Trilinear displacement of `coords` by a blurred noise grid (the
+    interpolation half of elastic distortion; the grid axis convention
+    matches transforms.elastic_distortion's RegularGridInterpolator setup).
+    Returns the displaced coords, or None when the native lib is absent
+    (callers then use the scipy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(coords, np.float32).copy()
+    mins = np.ascontiguousarray(mins, np.float32)
+    noise = np.ascontiguousarray(noise, np.float32)
+    dims = np.asarray(noise.shape[:3], np.int32)
+    lib.elastic_interp(_ptr(out, ctypes.c_float), len(out),
+                       _ptr(mins, ctypes.c_float),
+                       ctypes.c_float(granularity), ctypes.c_float(magnitude),
+                       _ptr(noise, ctypes.c_float),
+                       _ptr(dims, ctypes.c_int32))
+    return out
+
+
+def voxelize_sorted(points: np.ndarray, voxel_size: float):
+    """Fused scene voxelization: (n,3) float -> (int_coords (m,3) lex-sorted,
+    first (m,) original index of each voxel's first point, p2v (n,)).
+    None when the native lib is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float32)
+    n = len(points)
+    ic = np.empty((n, 3), np.int32)
+    first = np.empty(n, np.int32)
+    p2v = np.empty(n, np.int32)
+    m = lib.voxelize_sorted(_ptr(points, ctypes.c_float), n,
+                            ctypes.c_float(voxel_size),
+                            _ptr(ic, ctypes.c_int32),
+                            _ptr(first, ctypes.c_int32),
+                            _ptr(p2v, ctypes.c_int32))
+    return ic[:m].copy(), first[:m].copy(), p2v
 
 
 def connected_components(edges: np.ndarray, n: int):

@@ -186,7 +186,13 @@ def main():
             pred = probs.argmax(1)
             ok = (lab != 255) & (counts > 0)
             np.add.at(hist, (lab[ok], pred[ok]), 1)
-            dump_and_score(source.names[i], probs, lab, ok)
+            # EMA accumulation leaves per-point scale 1 - 0.95^votes, which
+            # would bias the cross-point ranking AP depends on; renormalize
+            # rows to sum 1 (argmax/mIoU unaffected)
+            row_sum = probs.sum(1, keepdims=True)
+            probs_n = np.divide(probs, row_sum, out=np.zeros_like(probs),
+                                where=row_sum > 0)
+            dump_and_score(source.names[i], probs_n, lab, ok)
             io.cprint(f"[{i+1}/{len(source)}] {source.names[i]} "
                       f"(coverage {100*np.mean(counts>0):.0f}%)")
 

@@ -73,6 +73,15 @@ def main():
                         "(reference trains on train/ and validates on val/)")
     p.add_argument("--num_classes", type=int, default=20)
     p.add_argument("--prefetch_workers", type=int, default=2)
+    p.add_argument("--prefetch_depth", type=int, default=3)
+    p.add_argument("--resume", action="store_true",
+                   help="restore {params, batch_stats, opt_state} from the "
+                        "latest checkpoint and continue the iteration counter "
+                        "and LR schedule (reference minkowski/lib/train.py:50-66)")
+    p.add_argument("--weights", type=str, default=None,
+                   help="initialize params from this checkpoint dir with "
+                        "shape-mismatch tolerance (reference "
+                        "lenient_weight_loading, minkowski/main.py:129-146)")
     args = p.parse_args()
 
     import jax
@@ -145,9 +154,25 @@ def main():
     opt = make_optimizer(args.optimizer, schedule)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
-                                          "minkunet"))
+                                          "minkunet"), pow2_retention=True)
     best_ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
                                                "minkunet_best"))
+    if args.weights:
+        from seggroup_tpu.utils.checkpoint import lenient_restore
+        params, n_loaded, n_tot = lenient_restore(args.weights, params,
+                                                  log=io.cprint)
+        io.cprint(f"lenient init: {n_loaded}/{n_tot} tensors from {args.weights}")
+    start_it = 0
+    if args.resume:
+        restored = ckpt.restore(template={
+            "params": params, "batch_stats": stats, "opt_state": opt_state})
+        if restored is not None:
+            params = restored["params"]
+            stats = restored["batch_stats"]
+            opt_state = restored["opt_state"]
+            start_it = ckpt.latest_step()
+            io.cprint(f"resumed from iter {start_it} "
+                      f"(lr continues at {schedule(start_it):.4g})")
 
     @jax.jit
     def train_step(params, stats, opt_state, st, labels, plan):
@@ -209,30 +234,37 @@ def main():
             return vbs, plans
 
         prefetch = HostPrefetcher(
-            lambda s: make_batch_dp(s, train_idx, True), depth=2,
-            workers=args.prefetch_workers)
+            lambda s: make_batch_dp(s, train_idx, True),
+            depth=args.prefetch_depth, workers=args.prefetch_workers,
+            start=start_it)
     else:
         prefetch = HostPrefetcher(
-            lambda s: make_batch(s + 1, train_idx, True), depth=2,
-            workers=args.prefetch_workers)
+            lambda s: make_batch(s + 1, train_idx, True),
+            depth=args.prefetch_depth, workers=args.prefetch_workers,
+            start=start_it)
+
+    def save_state(it):
+        ckpt.save(it, {"params": jax.device_get(params),
+                       "batch_stats": jax.device_get(stats),
+                       "opt_state": jax.device_get(opt_state)})
+
     hist_acc = np.zeros((args.num_classes, args.num_classes))
     best_val = -1.0
     t_window = time.time()
-    it_window = 0
+    it_window = start_it
     try:
-        for it in range(1, args.max_iter + 1):
+        for it in range(start_it + 1, args.max_iter + 1):
             if dp is not None:
                 vbs, plans = next(prefetch)
                 devbatch = [to_device(v, pl) for v, pl in zip(vbs, plans)]
                 st_b, lab_b, plan_b = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *devbatch)
-                params, stats, opt_state, loss = dp(
+                params, stats, opt_state, loss, hist = dp(
                     params, stats, opt_state,
                     shard_batch(dp_mesh, st_b),
                     shard_batch(dp_mesh, lab_b),
                     shard_batch(dp_mesh, plan_b))
                 loss = loss / n_dev
-                hist = np.zeros((args.num_classes, args.num_classes))
             else:
                 vb, plan = next(prefetch)
                 st, labels, plan = to_device(vb, plan)
@@ -240,30 +272,23 @@ def main():
                     params, stats, opt_state, st, labels, plan)
             hist_acc += np.asarray(hist)
             if it % 10 == 0 or it == args.max_iter:
-                # the DP step pmeans grads but does not gather the train
-                # confusion matrix; running mIoU comes from validation there
-                miou, _ = (miou_from_confusion(hist_acc) if dp is None
-                           else (float("nan"), None))
-                miou_txt = f"{100 * miou:.2f}%" if miou == miou else "n/a (dp)"
+                miou, _ = miou_from_confusion(hist_acc)
                 io.cprint(
-                    "iter %d/%d  loss %.4f  running mIoU %s  lr %.4g  (%.2fs/it)"
-                    % (it, args.max_iter, float(loss), miou_txt,
+                    "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"
+                    % (it, args.max_iter, float(loss), 100 * miou,
                        schedule(it),
                        (time.time() - t_window) / max(1, it - it_window)))
                 tb.add_scalar("train/loss", float(loss), it)
-                if miou == miou:
-                    tb.add_scalar("train/miou", 100 * miou, it)
+                tb.add_scalar("train/miou", 100 * miou, it)
                 tb.add_scalar("train/lr", float(schedule(it)), it)
                 t_window = time.time()
                 it_window = it
             if should_stop(args.exp_name):
                 io.cprint('STOP file found — saving and exiting')
-                ckpt.save(it, {"params": jax.device_get(params),
-                               "batch_stats": jax.device_get(stats)})
+                save_state(it)
                 break
             if it % args.val_freq == 0 or it == args.max_iter:
-                ckpt.save(it, {"params": jax.device_get(params),
-                               "batch_stats": jax.device_get(stats)})
+                save_state(it)
                 val_miou = validate()
                 marker = ""
                 if val_miou > best_val:

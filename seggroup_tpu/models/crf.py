@@ -17,7 +17,10 @@ TPU re-design (vs the reference's 6-D MinkowskiEngine convolution):
     13 offsets; reference wrapper_region_type=1, config.py:36-38) — a
     hypercube k=3 would be 3^6=729 offsets for no reported gain;
   * fixed shapes: cells live in the same M rows as the voxels (there are at
-    most M distinct cells), keyed by a sorted hash like sparse/hashing.py.
+    most M distinct cells), keyed by a sorted hash like sparse/hashing.py —
+    a *triple* int32 key (batch+x, y+z, rgb) so the 6-D cell space never
+    wraps 32 bits (a single packed key would alias for realistic scenes:
+    ~500 spatial cells/axis x ~23 chromatic cells/axis is ~1e12 >> 2^32).
 
 Mean-field update (reference forward, conditional_random_fields.py:122-137):
     out = unary
@@ -38,13 +41,14 @@ from seggroup_tpu.sparse.tensor import SparseTensor
 __all__ = ["MeanFieldCRF", "CRFWrapped"]
 
 
-def _hypercross_offsets_6d() -> jnp.ndarray:
-    offs = [jnp.zeros((6,), jnp.int32)]
-    for d in range(6):
+def _hypercross_offsets(ndim: int) -> jnp.ndarray:
+    """Center + 2*ndim face neighbors (reference wrapper_region_type=1)."""
+    offs = [jnp.zeros((ndim,), jnp.int32)]
+    for d in range(ndim):
         for s in (-1, 1):
-            o = jnp.zeros((6,), jnp.int32).at[d].set(s)
+            o = jnp.zeros((ndim,), jnp.int32).at[d].set(s)
             offs.append(o)
-    return jnp.stack(offs)  # (13, 6)
+    return jnp.stack(offs)  # (2*ndim+1, ndim)
 
 
 class MeanFieldCRF(nn.Module):
@@ -61,13 +65,19 @@ class MeanFieldCRF(nn.Module):
     spatial_sigma: float = 1.0
     chromatic_sigma: float = 12.0
     iterations: int = 10
+    temporal: bool = False  # 7-D trilateral grid (reference is_temporal)
 
     @nn.compact
     def __call__(self, logits: jax.Array, st: SparseTensor,
-                 colors: jax.Array) -> jax.Array:
+                 colors: jax.Array, times: jax.Array | None = None) -> jax.Array:
+        """`times` (optional, (M,) int32): per-voxel frame index for the
+        trilateral (temporal) grid — the reference's 7th dimension with
+        temporal sigma 1 (conditional_random_fields.py:23-26,108-113). Only
+        read when `temporal`; defaults to all-zero (a static scene)."""
         m = st.capacity
         c = self.channels
-        offsets = _hypercross_offsets_6d()
+        ndim = 7 if self.temporal else 6
+        offsets = _hypercross_offsets(ndim)
         k = offsets.shape[0]
         w = self.param(
             "kernel",
@@ -75,33 +85,71 @@ class MeanFieldCRF(nn.Module):
             (k, c, c),
         )
 
-        # --- bilateral 6-D cells -----------------------------------------
+        # --- bilateral 6-D / trilateral 7-D cells ------------------------
         sp = jnp.floor(st.coords[:, 1:4].astype(jnp.float32)
                        / self.spatial_sigma).astype(jnp.int32)
         ch = jnp.floor(colors.astype(jnp.float32)
                        / self.chromatic_sigma).astype(jnp.int32)
-        cell = jnp.concatenate([sp, ch], axis=1)  # (M, 6)
+        parts = [sp, ch]
+        if self.temporal:
+            t = (jnp.zeros((m,), jnp.int32) if times is None
+                 else times.astype(jnp.int32))
+            parts.append(t[:, None])  # temporal sigma 1: unquantized
+        cell = jnp.concatenate(parts, axis=1)  # (M, ndim)
         lo = jnp.min(jnp.where(st.valid[:, None], cell, 2 ** 20), axis=0)
         cell = cell - lo + 1  # leave halo >= 0 for the -1 offsets
         hi = jnp.max(jnp.where(st.valid[:, None], cell, 0), axis=0)
         dims = hi + 2
 
-        def key_of(cells6):
-            key = cells6[:, 0].astype(jnp.uint32)
-            for d in range(1, 6):
-                key = key * dims[d].astype(jnp.uint32) + cells6[:, d].astype(
-                    jnp.uint32)
-            return key
+        # Triple int32 key: ((batch·dimsT + t)·dims0 + c0, c1·dims2 + c2,
+        # (c3·dims4 + c4)·dims5 + c5). Each component stays far below 2^31
+        # for any realistic sigma / scene extent, so distinct cells never
+        # alias (cf. sparse/hashing.py's (hi, lo) pair for 4-D coords).
+        batch_idx = st.coords[:, 0].astype(jnp.int32)
 
-        span = jnp.uint32(1)
-        for d in range(6):
-            span = span * dims[d].astype(jnp.uint32)
-        key = key_of(cell) + st.coords[:, 0].astype(jnp.uint32) * span
-        key = jnp.where(st.valid, key, jnp.uint32(0xFFFFFFFF))
-        order = jnp.argsort(key).astype(jnp.int32)
-        skey = key[order]
+        def keys_of(cells, b):
+            k0 = b
+            if self.temporal:
+                k0 = k0 * dims[6] + cells[:, 6]
+            k0 = k0 * dims[0] + cells[:, 0]
+            k1 = cells[:, 1] * dims[2] + cells[:, 2]
+            k2 = (cells[:, 3] * dims[4] + cells[:, 4]) * dims[5] + cells[:, 5]
+            return k0.astype(jnp.int32), k1.astype(jnp.int32), k2.astype(jnp.int32)
+
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        k0, k1, k2 = keys_of(cell, batch_idx)
+        k0 = jnp.where(st.valid, k0, big)
+        k1 = jnp.where(st.valid, k1, big)
+        k2 = jnp.where(st.valid, k2, big)
+        order = jnp.lexsort((k2, k1, k0)).astype(jnp.int32)
+        s0, s1, s2 = k0[order], k1[order], k2[order]
+
+        def lower_bound(q0, q1, q2):
+            """First sorted position >= the query triple (vectorized binary
+            search; ~log2(M) steps)."""
+            steps = max(1, int(m).bit_length())
+            lo_b = jnp.zeros(q0.shape, jnp.int32)
+            hi_b = jnp.full(q0.shape, m, jnp.int32)
+
+            def body(_, carry):
+                lo_bound, hi_bound = carry
+                mid = (lo_bound + hi_bound) // 2
+                p = jnp.minimum(mid, m - 1)
+                m0, m1, m2 = s0[p], s1[p], s2[p]
+                less = ((m0 < q0)
+                        | ((m0 == q0) & (m1 < q1))
+                        | ((m0 == q0) & (m1 == q1) & (m2 < q2)))
+                lo_bound = jnp.where(less, mid + 1, lo_bound)
+                hi_bound = jnp.where(less, hi_bound, mid)
+                return lo_bound, hi_bound
+
+            lo_b, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+            p = jnp.minimum(lo_b, m - 1)
+            hit = (s0[p] == q0) & (s1[p] == q1) & (s2[p] == q2)
+            return lo_b, hit
+
         # cell id per voxel: rank of first occurrence in sorted keys
-        first = jnp.searchsorted(skey, key).astype(jnp.int32)
+        first, _ = lower_bound(k0, k1, k2)
         cell_id = jnp.where(st.valid, first, m)  # padding -> dropped row
 
         # per-offset target cell row (in sorted-key space), once — the grid
@@ -110,9 +158,9 @@ class MeanFieldCRF(nn.Module):
         tgt_ok = []
         for i in range(k):
             nb = cell + offsets[i][None, :]
-            nkey = key_of(nb) + st.coords[:, 0].astype(jnp.uint32) * span
-            row = jnp.searchsorted(skey, nkey).astype(jnp.int32)
-            ok = (skey[jnp.minimum(row, m - 1)] == nkey) & st.valid
+            n0, n1, n2 = keys_of(nb, batch_idx)
+            row, hit = lower_bound(n0, n1, n2)
+            ok = hit & st.valid
             tgt_rows.append(jnp.where(ok, row, m))
             tgt_ok.append(ok)
         tgt_rows = jnp.stack(tgt_rows, axis=1)  # (M, K)
@@ -148,14 +196,17 @@ class CRFWrapped(nn.Module):
     spatial_sigma: float = 1.0
     chromatic_sigma: float = 12.0
     iterations: int = 10
+    temporal: bool = False  # TrilateralCRF (reference crf.py:157-166)
 
     @nn.compact
     def __call__(self, st: SparseTensor, colors: jax.Array,
                  train: bool = True, apply_filter: bool = True,
-                 plan: dict | None = None) -> jax.Array:
+                 plan: dict | None = None,
+                 times: jax.Array | None = None) -> jax.Array:
         logits = self.backbone(st, train=train, plan=plan)
         if not apply_filter:
             return logits
         return MeanFieldCRF(self.num_classes, self.spatial_sigma,
                             self.chromatic_sigma, self.iterations,
-                            name="crf")(logits, st, colors)
+                            temporal=self.temporal,
+                            name="crf")(logits, st, colors, times)

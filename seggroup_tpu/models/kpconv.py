@@ -48,29 +48,83 @@ from seggroup_tpu.ops.segment_ops import segment_mean
 
 @lru_cache(maxsize=None)
 def kernel_point_positions(num_points: int = 15, dim: int = 3,
-                           num_iters: int = 300, seed: int = 42) -> np.ndarray:
-    """Repulsive-potential optimization of kernel point placement in the unit
-    sphere, first point fixed at the center (reference
-    kernel_point_optimization_debug, kernels/kernel_points.py:41-180).
-    Returns (num_points, dim) float32, radius-normalized to 1."""
+                           num_iters: int = 10000, seed: int = 42,
+                           fixed: str = "center",
+                           n_restarts: int = 8) -> np.ndarray:
+    """Repulsive-potential optimization of kernel point placement (the
+    reference's kernel_point_optimization_debug scheme,
+    kernels/kernel_points.py:41-180): init uniform in the r^2 < 0.5 ball;
+    each step the potential gradient is inter-point repulsion
+    sum_j (x_i - x_j)/|x_i - x_j|^3 plus a radial attraction 10*x_i; points
+    move a CLIPPED distance min(lr * |g|, 0.05) along -g/|g| with lr decaying
+    by 0.9995 per step; stops when the per-point gradient norms settle
+    (max change < 1e-5); finally rescaled so the mean radius of the moving
+    points is 1. `fixed`: 'center' pins point 0 at the origin (the reference
+    ScanNet config); 'verticals' additionally pins points 1-2 on the +-2/3 z
+    axis (their z is held, xy gradients zeroed); 'none' moves everything.
+
+    Like the reference's load_kernels (which optimizes num_kernels=100 and
+    keeps the best, kernel_points.py:234-244), the optimization restarts
+    `n_restarts` times and returns the lowest-potential disposition. The
+    result is deterministic per (num_points, seed) but differs from the
+    reference's shipped .ply cache (different RNG draws — same potential,
+    same statistics; docs/ARCHITECTURE.md deviations list)."""
+    best, best_pot = None, np.inf
+    for restart in range(n_restarts):
+        pts = _optimize_kernel_points(num_points, dim, num_iters,
+                                      seed + restart, fixed)
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        pot = float((1.0 / d[np.isfinite(d)]).sum() / 2
+                    + 5.0 * (np.linalg.norm(pts, axis=1) ** 2).sum())
+        if fixed == "verticals" and pts[1, -1] * pts[2, -1] >= 0:
+            # the z-constrained points drifted to the same side — penalize so
+            # a restart with the intended +-z structure wins when one exists
+            pot += 1e6
+        if pot < best_pot:
+            best, best_pot = pts, pot
+    return best
+
+
+def _optimize_kernel_points(num_points: int, dim: int, num_iters: int,
+                            seed: int, fixed: str) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    pts = rng.uniform(-1, 1, size=(num_points, dim))
-    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-6) \
-        * rng.uniform(0.3, 1.0, size=(num_points, 1))
-    pts[0] = 0.0
-    lr = 0.01
+    pts = np.empty((0, dim))
+    while len(pts) < num_points:
+        cand = rng.uniform(-1, 1, size=(4 * num_points, dim))
+        cand = cand[np.sum(cand ** 2, axis=1) < 0.5]
+        pts = np.concatenate([pts, cand])
+    pts = pts[:num_points].copy()
+    if fixed == "center":
+        pts[0] = 0.0
+    elif fixed == "verticals":
+        pts[:3] = 0.0
+        pts[1, -1] = 2.0 / 3.0
+        pts[2, -1] = -2.0 / 3.0
+
+    lr, decay, clip, thresh = 1e-2, 0.9995, 0.05, 1e-5
+    old_norms = np.zeros(num_points)
     for _ in range(num_iters):
         diff = pts[:, None, :] - pts[None, :, :]
-        d = np.linalg.norm(diff, axis=-1) + 1e-6
-        np.fill_diagonal(d, 1e6)
-        # inter-point repulsion + attraction to the center
-        rep = (diff / d[..., None] ** 3).sum(1)
-        grad = rep - 2 * pts
-        pts[1:] += lr * grad[1:]
-        norms = np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
-        pts = np.where(norms > 1.0, pts / norms, pts)
-    scale = np.abs(pts).max()
-    return (pts / max(scale, 1e-6)).astype(np.float32)
+        d2 = np.sum(diff ** 2, axis=-1)
+        grad = (diff / (d2[..., None] ** 1.5 + 1e-6)).sum(axis=1)
+        grad += 10.0 * pts
+        if fixed == "verticals":
+            grad[1:3, :-1] = 0.0
+        norms = np.linalg.norm(grad, axis=-1)
+        moving = np.arange(num_points) >= {"center": 1, "verticals": 3}.get(
+            fixed, 0)
+        if np.max(np.abs(old_norms[moving] - norms[moving])) < thresh:
+            break
+        old_norms = norms
+        step = np.minimum(lr * norms, clip)
+        if fixed in ("center", "verticals"):
+            step[0] = 0.0
+        pts -= (step[:, None] * grad) / (norms[:, None] + 1e-6)
+        lr *= decay
+    r = np.linalg.norm(pts, axis=-1)
+    pts = pts / np.mean(r[1:])
+    return pts.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +198,8 @@ def build_pyramid(
     neighbor_cap: int | Sequence[int] = 32,
     level_caps: Sequence[int] | None = None,
     bucket_cap: int = 16,
-) -> list[PyramidLevel]:
+    return_overflow: bool = False,
+):
     """The analog of tf_segmentation_inputs (reference common.py:1021-1158):
     per layer, within-level radius neighborhoods, 2x grid pooling (barycenter
     of each voxel cell, reference grid_subsampling.cpp:4-106), pooling
@@ -152,7 +207,12 @@ def build_pyramid(
 
     `neighbor_cap` may be a single int or one cap per layer — use
     `calibrate_neighbor_caps` to set them from data histograms instead of
-    constants (the reference's calibrate_neighbors, common.py:551-656)."""
+    constants (the reference's calibrate_neighbors, common.py:551-656).
+
+    With `return_overflow`, returns (levels, overflow_rates): per level the
+    fraction of valid query points whose true neighborhood exceeded the cap
+    (flags computed by ball_query_pair) — log these during validation so
+    silent truncation is visible."""
     from seggroup_tpu.ops.voxelize import voxelize
 
     if isinstance(neighbor_cap, int):
@@ -161,16 +221,20 @@ def build_pyramid(
         nbr_caps = list(neighbor_cap)
         assert len(nbr_caps) == num_layers
     levels = []
+    over_rates = []
     cur_p, cur_b, cur_v = points, batch, valid
     dl = dl0
     n0 = points.shape[0]
     caps = level_caps or [max(256, n0 >> i) for i in range(1, num_layers + 1)]
     for layer in range(num_layers):
         r = dl * conv_radius
-        nbrs, _, _ = ball_query_pair(
+        nbrs, _, over = ball_query_pair(
             cur_p, cur_b, cur_v, cur_p, cur_b, cur_v, r,
             max_neighbors=nbr_caps[layer], bucket_cap=bucket_cap,
         )
+        over_rates.append(
+            jnp.sum(jnp.where(cur_v, over, False))
+            / jnp.maximum(jnp.sum(cur_v), 1))
         if layer + 1 < num_layers:
             cap = caps[layer]
             ic = jnp.floor(cur_p / (2 * dl)).astype(jnp.int32)
@@ -191,6 +255,8 @@ def build_pyramid(
         if layer + 1 < num_layers:
             cur_p, cur_b, cur_v = nxt_p, nxt_b, nxt_v
             dl *= 2
+    if return_overflow:
+        return levels, over_rates
     return levels
 
 
@@ -260,6 +326,14 @@ def calibrate_neighbor_caps(
         q = int(np.quantile(c, keep_ratio)) if len(c) else 8
         caps_out.append(int(min(max(8, -(-q // 8) * 8), probe_cap)))
         over_rate.append(float(over_n[lv] / max(over_d[lv], 1)))
+        if caps_out[-1] >= probe_cap:
+            import warnings
+            warnings.warn(
+                f"calibrate_neighbor_caps: level {lv} quantile saturated at "
+                f"probe_cap={probe_cap} (overflow rate "
+                f"{over_rate[-1]:.3f}); the calibrated cap is a LOWER bound "
+                f"— re-run with a larger probe_cap for dense scans",
+                stacklevel=2)
     return caps_out, over_rate
 
 

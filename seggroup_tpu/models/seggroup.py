@@ -208,7 +208,11 @@ def cluster_pointclouds(
     # then reads spatially stratified members instead of arbitrary ones
     # (measured spread recovery in tests/test_approx_semantics.py)
     from seggroup_tpu.ops.knn import morton3d
-    m_order = jnp.argsort(morton3d(points[:, :3]), stable=True).astype(jnp.int32)
+    # mask padding rows (cid == s) out of the Morton bounding box: garbage
+    # pad coords would blow up the quantization range and collapse real
+    # points into few Morton cells
+    m_order = jnp.argsort(morton3d(points[:, :3], valid=cid < s),
+                          stable=True).astype(jnp.int32)
     order = m_order[jnp.argsort(cid[m_order], stable=True).astype(jnp.int32)]
     sorted_cid = cid[order]
     start = jnp.searchsorted(sorted_cid, jnp.arange(s), side="left").astype(jnp.int32)
@@ -264,6 +268,11 @@ class Stage1Output(NamedTuple):
     final_ins: jax.Array      # (N,)
     sem_layer2: jax.Array     # (N,) layer-2 semantic export (sem_infer output)
     ins_layer2: jax.Array     # (N,)
+    max_segment_size: jax.Array  # scalar: largest layer-1 segment (binding
+    # when > cluster_cap — FPS candidates truncate, model.py:398-426 analog)
+    max_cluster_size: jax.Array  # scalar: largest merged cluster entering a
+    # kNN layer (binding when > knn_window); CLIs warn and point at the
+    # exact-path flags
 
 
 class SegGroupGNN(nn.Module):
@@ -314,6 +323,10 @@ class SegGroupGNN(nn.Module):
         edges, ev = gr.normalize_edges(g, scene.edges, scene.edge_valid)
         roots_l1 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
 
+        max_seg = jnp.max(segment_sum(
+            pt_valid.astype(jnp.int32),
+            jnp.where(pt_valid, roots_l1, s), s))
+
         # --- structural grouping layer (model.py:745-770)
         clouds, act1 = cluster_pointclouds(
             pts, roots_l1, s, p_out=self.mlp1_points, cap=self.cluster_cap
@@ -327,6 +340,8 @@ class SegGroupGNN(nn.Module):
         roots_l2 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
 
         sem_l2, ins_l2 = self._export_labels(g, roots_l2, pt_valid, s)
+        cl2 = jnp.max(segment_sum(pt_valid.astype(jnp.int32),
+                                  jnp.where(pt_valid, roots_l2, s), s))
 
         if mode == "sem_infer":
             iou_sem, iou_ins, acc = evaluate_labels(
@@ -336,7 +351,7 @@ class SegGroupGNN(nn.Module):
             return Stage1Output(
                 zero, zero, iou_sem, iou_ins, acc,
                 jnp.stack([roots_l1, roots_l2, roots_l2, roots_l2]),
-                roots_l2, sem_l2, ins_l2, sem_l2, ins_l2,
+                roots_l2, sem_l2, ins_l2, sem_l2, ins_l2, max_seg, cl2,
             )
 
         # --- semantic grouping layer 1 (model.py:786-824)
@@ -345,6 +360,9 @@ class SegGroupGNN(nn.Module):
             pt_valid, train,
         )
         roots_l3 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+        cl3 = jnp.max(segment_sum(pt_valid.astype(jnp.int32),
+                                  jnp.where(pt_valid, roots_l3, s), s))
+        max_cluster = jnp.maximum(cl2, cl3)
         feat3 = gr.aggregate_cluster_feature(feat2, g, act2)
 
         # --- semantic grouping layer 2 (model.py:827-856)
@@ -377,6 +395,7 @@ class SegGroupGNN(nn.Module):
             return Stage1Output(
                 zero, zero, iou_sem, iou_ins, acc, layer_roots,
                 final_root, final_sem, final_ins, sem_l2, ins_l2,
+                max_seg, max_cluster,
             )
 
         # --- classifier over per-instance max-pooled features (model.py:900-929)
@@ -396,6 +415,7 @@ class SegGroupGNN(nn.Module):
         return Stage1Output(
             loss_sum, loss_count, iou_sem, iou_ins, acc, layer_roots,
             final_root, final_sem, final_ins, sem_l2, ins_l2,
+            max_seg, max_cluster,
         )
 
     def _semantic_layer(self, mlp, gcn, feat_in, g, edges, ev, pts, roots,
@@ -404,6 +424,7 @@ class SegGroupGNN(nn.Module):
         knn_idx = cluster_knn(
             pts[:, :3], jnp.where(pt_valid, roots, jnp.int32(0x3FFFFFFF)),
             k=self.knn_k, window=self.knn_window, approx=self.fast_knn,
+            valid=pt_valid,
         )
         center = segment_mean(pts[:, :3], roots, s)  # (S, 3)
         centered = pts[:, :3] - center[jnp.minimum(roots, s - 1)]

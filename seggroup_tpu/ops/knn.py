@@ -119,6 +119,7 @@ def cluster_knn(
     col_block: int = 1024,
     window: int = 16384,
     approx: bool = False,
+    valid: jax.Array | None = None,
 ) -> jax.Array:
     """Per-point kNN restricted to points sharing `cluster_ids` (self included).
 
@@ -139,12 +140,17 @@ def cluster_knn(
     Returns (N, k) int32 indices in the ORIGINAL point order. Rows whose
     cluster has < k members repeat the self index (deviation from reference
     get_knn which zero-fills, model.py:513 — zero-fill aliases point 0, which we
-    deliberately do not reproduce)."""
+    deliberately do not reproduce).
+
+    `valid` (optional, (N,) bool) masks padding rows out of the Morton
+    bounding box — garbage pad coordinates would otherwise blow up the
+    quantization range and collapse real points into few Morton cells,
+    destroying the spatial locality the centered window relies on."""
     N, D = points.shape
     assert N % row_block == 0, "pad N to a multiple of row_block"
 
     # two-key stable sort: cluster id major, Morton code minor
-    m_order = jnp.argsort(morton3d(points), stable=True).astype(jnp.int32)
+    m_order = jnp.argsort(morton3d(points, valid), stable=True).astype(jnp.int32)
     order = m_order[
         jnp.argsort(cluster_ids[m_order], stable=True).astype(jnp.int32)
     ]
@@ -285,7 +291,12 @@ def ball_query_pair(
     cand_ok = jnp.moveaxis(cand_ok, 0, 1).reshape(nq, 27 * bucket_cap)
     bucket_overflow = jnp.any(cand_missed, axis=0) & query_valid
 
-    d = jnp.sum((queries[:, None, :] - support[cand_idx]) ** 2, axis=-1)
+    # per-axis gathered differences (see ball_query: a fused (Nq, 27*cap, 3)
+    # gather pads its trailing dim 3 -> 128 lanes under TPU tiling)
+    d = jnp.zeros(cand_idx.shape, jnp.float32)
+    for c in range(3):
+        dc = support[:, c][cand_idx] - queries[:, c, None]
+        d = d + dc * dc
     in_ball = (cand_ok & (d <= radius * radius) & query_valid[:, None]
                & support_valid[cand_idx])
     big = jnp.float32(1e30)
@@ -372,7 +383,14 @@ def ball_query(
     cand_ok = jnp.moveaxis(cand_ok, 0, 1).reshape(N, 27 * bucket_cap)
     bucket_overflow = jnp.any(cand_missed, axis=0) & valid
 
-    d = jnp.sum((coords[:, None, :] - coords[cand_idx]) ** 2, axis=-1)
+    # per-axis gathered differences: a fused (N, 27*cap, 3) gather would be
+    # materialized by XLA as f32[N*27*cap, 3] whose trailing dim pads to 128
+    # lanes under TPU tiling (43x memory — 29 GB at 2^17 points); three
+    # (N, 27*cap) gathers tile cleanly
+    d = jnp.zeros(cand_idx.shape, jnp.float32)
+    for c in range(3):
+        dc = coords[:, c][cand_idx] - coords[:, c, None]
+        d = d + dc * dc
     in_ball = cand_ok & (d <= radius * radius) & valid[:, None] & valid[cand_idx]
     big = jnp.float32(1e30)
     d = jnp.where(in_ball, d, big)

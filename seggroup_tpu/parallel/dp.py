@@ -136,7 +136,8 @@ def build_minkunet_dp_step(
     scaling them over the mesh is a capability the reference lacks.
 
     Call: step(params, stats, opt_state, st_batch, labels_batch, plan_batch)
-      -> (params, stats, opt_state, summed_loss)."""
+      -> (params, stats, opt_state, summed_loss, summed_confusion)."""
+    from seggroup_tpu.eval.semantic import confusion_matrix
 
     def local_loss(params, stats, st, labels, plan):
         logits, mut = model.apply(
@@ -147,24 +148,28 @@ def build_minkunet_dp_step(
         nll = -jnp.take_along_axis(
             lp, jnp.clip(labels, 0, num_classes - 1)[:, None], axis=1)[:, 0]
         loss = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
-        return loss, mut["batch_stats"]
+        return loss, (mut["batch_stats"], logits)
 
     def step(params, stats, opt_state, st, labels, plan):
         st, labels, plan = jax.tree.map(lambda x: x[0], (st, labels, plan))
-        (loss, new_stats), grads = jax.value_and_grad(
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, stats, st, labels, plan)
         grads = jax.lax.pmean(grads, "data")
         new_stats = jax.lax.pmean(new_stats, "data")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, new_stats, opt_state, jax.lax.psum(loss, "data")
+        hist = confusion_matrix(
+            jnp.argmax(logits, -1),
+            jnp.where(st.valid, labels, ignore_label), num_classes)
+        hist = jax.lax.psum(hist, "data")
+        return params, new_stats, opt_state, jax.lax.psum(loss, "data"), hist
 
     return jax.jit(
         shard_map(
             step,
             mesh=mesh,
             in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,
         )
     )
@@ -210,7 +215,7 @@ def build_kpconv_dp_step(
     reference trainer.py:119-152).
 
     Call: step(params, stats, opt_state, pts, feats, labels, bids, valid)
-      -> (params, stats, opt_state, summed_loss)."""
+      -> (params, stats, opt_state, summed_loss, mean_acc)."""
     from seggroup_tpu.models.kpconv import build_pyramid
 
     def local_loss(params, stats, pts, feats, labels, bids, valid):
@@ -224,21 +229,24 @@ def build_kpconv_dp_step(
         nll = -jnp.take_along_axis(
             lp, jnp.clip(labels, 0, num_classes - 1)[:, None], 1)[:, 0]
         ce = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
-        return ce + reg_weight * regs, mut["batch_stats"]
+        acc = (jnp.sum((jnp.argmax(logits, -1) == labels) & ok)
+               / jnp.maximum(jnp.sum(ok), 1))
+        return ce + reg_weight * regs, (mut["batch_stats"], acc)
 
     def step(params, stats, opt_state, pts, feats, labels, bids, valid):
         pts, feats, labels, bids, valid = jax.tree.map(
             lambda x: x[0], (pts, feats, labels, bids, valid))
-        (loss, new_stats), grads = jax.value_and_grad(
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, stats, pts, feats, labels,
                                       bids, valid)
         if grad_transform is not None:
             grads = grad_transform(grads)
         grads = jax.lax.pmean(grads, "data")
         new_stats = jax.lax.pmean(new_stats, "data")
-        updates, opt_state = optimizer.update(grads, opt_state)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, new_stats, opt_state, jax.lax.psum(loss, "data")
+        return (params, new_stats, opt_state, jax.lax.psum(loss, "data"),
+                jax.lax.pmean(acc, "data"))
 
     return jax.jit(
         shard_map(
@@ -246,7 +254,7 @@ def build_kpconv_dp_step(
             mesh=mesh,
             in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
                       P("data"), P("data")),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,
         )
     )
@@ -265,15 +273,18 @@ def build_pointgroup_dp_step(
     `loss_fn` is models.pointgroup.pointgroup_loss.
 
     Call: step(params, stats, opt_state, st, p2v, coords, batch_ids, valid,
-               labels, inst, centroid, pointnum, key)
-      -> (params, stats, opt_state, summed_loss)."""
+               labels, inst, centroid, pointnum, plan, key)
+      -> (params, stats, opt_state, summed_loss). `plan` is the stacked
+    host pyramid plan per device (sparse/plan.py; pass {} to build
+    rulebooks on device)."""
 
     def local_loss(params, stats, st, p2v, coords, batch_ids, valid,
-                   labels, inst, centroid, pointnum, key):
+                   labels, inst, centroid, pointnum, plan, key):
         out, mut = model.apply(
             {"params": params, "batch_stats": stats}, st, p2v, coords,
             batch_ids, valid, do_clustering=do_clustering, train=True,
             jitter_rng=key, mutable=["batch_stats"],
+            plan=plan if plan else None,
         )
         total, _aux = loss_fn(
             out, labels, inst, centroid, pointnum, coords, valid,
@@ -282,17 +293,17 @@ def build_pointgroup_dp_step(
         return total, mut["batch_stats"]
 
     def step(params, stats, opt_state, st, p2v, coords, batch_ids, valid,
-             labels, inst, centroid, pointnum, key):
+             labels, inst, centroid, pointnum, plan, key):
         local = jax.tree.map(
             lambda x: x[0],
             (st, p2v, coords, batch_ids, valid, labels, inst, centroid,
-             pointnum))
+             pointnum, plan))
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         (loss, new_stats), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, stats, *local, key)
         grads = jax.lax.pmean(grads, "data")
         new_stats = jax.lax.pmean(new_stats, "data")
-        updates, opt_state = optimizer.update(grads, opt_state)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, jax.lax.psum(loss, "data")
 
@@ -302,7 +313,7 @@ def build_pointgroup_dp_step(
             step,
             mesh=mesh,
             in_specs=(P(), P(), P(), data, data, data, data, data, data,
-                      data, data, data, P()),
+                      data, data, data, data, P()),
             out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )

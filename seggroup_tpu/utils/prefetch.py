@@ -20,15 +20,15 @@ class HostPrefetcher:
     factory propagate to the consumer on the next __next__."""
 
     def __init__(self, factory: Callable[[int], object], depth: int = 2,
-                 workers: int = 1):
+                 workers: int = 1, start: int = 0):
         self._factory = factory
         self._depth = max(1, depth)
         self._workers = max(1, workers)
         self._tickets: queue.Queue = queue.Queue()
         self._done: dict = {}
         self._lock = threading.Condition()
-        self._next_out = 0
-        self._next_in = 0
+        self._next_out = start
+        self._next_in = start
         self._stop = False
         self._threads = [
             threading.Thread(target=self._run, daemon=True)

@@ -94,6 +94,112 @@ def test_crf_neighbor_cells_couple(rng):
     np.testing.assert_allclose(out[0], sm1, rtol=1e-4, atol=1e-5)
 
 
+def test_crf_realistic_grid_no_key_aliasing(rng):
+    """Regression: at realistic scene scale (spatial cells ~600/axis at
+    spatial_sigma=1, chromatic cells ~22/axis at sigma=12) the 6-D cell space
+    is ~1e12 >> 2^32, so a single packed uint32 key would wrap and alias
+    distinct cells. The triple-int32 key must keep the center-offset oracle
+    exact."""
+    c = 4
+    m_cap = 256
+    n = 200
+    coords = np.zeros((m_cap, 4), np.int32)
+    coords[:n, 0] = rng.integers(0, 2, n)
+    coords[:n, 1:] = rng.integers(0, 600, (n, 3))  # ~12 m scene at 2 cm
+    valid = np.zeros(m_cap, bool)
+    valid[:n] = True
+    st = SparseTensor(jnp.array(coords), jnp.zeros((m_cap, c)),
+                      jnp.array(valid), jnp.int32(n))
+    logits = rng.normal(size=(m_cap, c)).astype(np.float32)
+    logits[n:] = 0
+    colors = rng.integers(0, 255, (m_cap, 3)).astype(np.float32)
+
+    crf = MeanFieldCRF(channels=c, spatial_sigma=1.0, chromatic_sigma=12.0,
+                       iterations=1)
+    variables = crf.init(jax.random.PRNGKey(0), jnp.array(logits), st, colors)
+    kernel = np.zeros_like(np.asarray(variables["params"]["kernel"]))
+    kernel[0] = np.eye(c)
+    out = np.asarray(crf.apply({"params": {"kernel": jnp.array(kernel)}},
+                               jnp.array(logits), st, colors))
+
+    cell = np.concatenate(
+        [coords[:n, :1], coords[:n, 1:4],
+         np.floor(colors[:n] / 12.0).astype(int)], axis=1)
+    lg = logits[:n]
+    sm = np.exp(lg - lg.max(1, keepdims=True))
+    sm /= sm.sum(1, keepdims=True)
+    want = lg.copy()
+    for i in range(n):
+        same = (cell == cell[i]).all(1)
+        want[i] += sm[same].sum(0)
+    np.testing.assert_allclose(out[:n], want, rtol=1e-4, atol=1e-4)
+
+
+def test_trilateral_crf_time_separates_cells(rng):
+    """TrilateralCRF (reference conditional_random_fields.py:157-166): with a
+    center-identity kernel and one iteration, voxels in the same 6-D
+    bilateral cell but DIFFERENT time frames no longer couple — the 7th
+    (temporal) dimension splits the cell. Oracle in numpy over the 7-D key."""
+    c = 4
+    m_cap, n = 64, 40
+    coords = np.zeros((m_cap, 4), np.int32)
+    coords[:n, 1:] = rng.integers(0, 4, (n, 3))
+    valid = np.zeros(m_cap, bool)
+    valid[:n] = True
+    st = SparseTensor(jnp.array(coords), jnp.zeros((m_cap, c)),
+                      jnp.array(valid), jnp.int32(n))
+    logits = rng.normal(size=(m_cap, c)).astype(np.float32)
+    logits[n:] = 0
+    colors = rng.integers(0, 255, (m_cap, 3)).astype(np.float32)
+    times = np.zeros(m_cap, np.int32)
+    times[:n] = rng.integers(0, 3, n)
+
+    crf = MeanFieldCRF(channels=c, spatial_sigma=2.0, chromatic_sigma=64.0,
+                       iterations=1, temporal=True)
+    variables = crf.init(jax.random.PRNGKey(0), jnp.array(logits), st,
+                         jnp.array(colors), jnp.array(times))
+    kernel = np.zeros_like(np.asarray(variables["params"]["kernel"]))
+    assert kernel.shape[0] == 15  # 7-D hypercross: center + 2*7
+    kernel[0] = np.eye(c)
+    out = np.asarray(crf.apply({"params": {"kernel": jnp.array(kernel)}},
+                               jnp.array(logits), st, jnp.array(colors),
+                               jnp.array(times)))
+
+    cell = np.concatenate(
+        [coords[:n, :1], np.floor(coords[:n, 1:4] / 2.0).astype(int),
+         np.floor(colors[:n] / 64.0).astype(int), times[:n, None]], axis=1)
+    lg = logits[:n]
+    sm = np.exp(lg - lg.max(1, keepdims=True))
+    sm /= sm.sum(1, keepdims=True)
+    want = lg.copy()
+    for i in range(n):
+        same = (cell == cell[i]).all(1)
+        want[i] += sm[same].sum(0)
+    np.testing.assert_allclose(out[:n], want, rtol=1e-4, atol=1e-4)
+
+    # with all times equal the temporal grid degenerates to the bilateral one
+    crf_b = MeanFieldCRF(channels=c, spatial_sigma=2.0, chromatic_sigma=64.0,
+                         iterations=1)
+    vb = crf_b.init(jax.random.PRNGKey(0), jnp.array(logits), st,
+                    jnp.array(colors))
+    kb = np.zeros_like(np.asarray(vb["params"]["kernel"]))
+    kb[0] = np.eye(c)
+    out_b = np.asarray(crf_b.apply({"params": {"kernel": jnp.array(kb)}},
+                                   jnp.array(logits), st, jnp.array(colors)))
+    out_t0 = np.asarray(crf.apply({"params": {"kernel": jnp.array(kernel)}},
+                                  jnp.array(logits), st, jnp.array(colors),
+                                  jnp.zeros(m_cap, jnp.int32)))
+    np.testing.assert_allclose(out_t0[:n], out_b[:n], rtol=1e-5, atol=1e-5)
+
+
+def test_trilateral_registry(rng):
+    from seggroup_tpu.models import get_model
+
+    model = get_model("TrilateralCRF-Res16UNet14A", out_channels=8,
+                      level_caps=[128, 128, 64, 32, 32])
+    assert model.temporal
+
+
 @pytest.mark.slow
 def test_crf_wrapped_registry_and_forward(rng):
     from seggroup_tpu.models import get_model

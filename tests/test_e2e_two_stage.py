@@ -83,7 +83,8 @@ def test_stage2_consumes_pseudo_labels(workdir):
 @pytest.mark.slow
 def test_kpconv_trainer_smoke(workdir):
     """KPConv trainer end-to-end via subprocess: calibration line, training
-    steps, vote-smoothed validation with best checkpoint."""
+    steps, vote-smoothed validation with best checkpoint and per-level
+    overflow accounting."""
     run(["cli.stage2_train_kpconv", "--synthetic", "3", "--exp_name", "kpe2e",
          "--data_root", "unused", "--steps", "2", "--point_cap", "1024",
          "--batch_size", "1", "--save_freq", "2", "--calib_batches", "1"],
@@ -91,5 +92,60 @@ def test_kpconv_trainer_smoke(workdir):
     log = open(os.path.join(workdir, "checkpoints/kpe2e/kpconv.log")).read()
     assert "calibrated neighbor caps" in log
     assert "val acc" in log
+    assert "ball-query overflow %/level" in log
     assert os.path.exists(os.path.join(workdir,
                                        "checkpoints/kpe2e/kpconv_best"))
+
+
+@pytest.mark.slow
+def test_stage2_resume_continues_step_and_lr(workdir):
+    """Kill-and-resume (VERDICT round-1 item 4): a stage-2 run that stops at
+    iter 4 and restarts with --resume continues the iteration counter and the
+    LR schedule from the restored optimizer state (reference
+    minkowski/lib/train.py:50-66 restores model AND optimizer state)."""
+    ns = ["--synthetic", "3", "--exp_name", "resume_e2e",
+          "--data_root", "unused", "--batch_size", "1",
+          "--capacity", "2048", "--model", "Res16UNet14A",
+          "--val_freq", "2", "--lr", "0.1"]
+    # phase 1: "dies" after iter 4 — the checkpoint at iter 4 is what a
+    # killed long run would leave behind
+    run(["cli.stage2_train_minkunet"] + ns + ["--max_iter", "4"], workdir)
+    log1 = open(os.path.join(workdir,
+                             "checkpoints/resume_e2e/minkunet.log")).read()
+    assert "saved iter 4" in log1
+    # phase 2: resume and run to 6
+    run(["cli.stage2_train_minkunet"] + ns + ["--max_iter", "6", "--resume"],
+        workdir)
+    log2 = open(os.path.join(workdir,
+                             "checkpoints/resume_e2e/minkunet.log")).read()
+    assert "resumed from iter 4" in log2
+    assert "saved iter 6" in log2
+    # the restored PolyLR continues (lr at iter 4 of a 6-iter schedule is
+    # printed on resume and is below the base lr)
+    import re
+    m = re.search(r"lr continues at ([0-9.eE+-]+)", log2)
+    assert m and 0 < float(m.group(1)) < 0.1
+
+
+def test_lenient_restore_partial_weights(tmp_path):
+    """lenient_restore (reference lenient_weight_loading minkowski
+    main.py:129-146): matching-shape leaves load, mismatched/missing leaves
+    keep their fresh init."""
+    import jax.numpy as jnp
+
+    from seggroup_tpu.utils.checkpoint import CheckpointManager, lenient_restore
+
+    src = {"a": {"w": np.ones((4, 4), np.float32)},
+           "b": {"w": np.full((3,), 2.0, np.float32)}}
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, {"params": src, "batch_stats": {}})
+
+    template = {"a": {"w": jnp.zeros((4, 4))},          # match -> loaded
+                "b": {"w": jnp.zeros((5,))},            # shape mismatch -> kept
+                "c": {"w": jnp.full((2,), 7.0)}}        # absent -> kept
+    out, n_loaded, n_total = lenient_restore(str(tmp_path / "ck"), template,
+                                             log=lambda *_: None)
+    assert (n_loaded, n_total) == (1, 3)
+    np.testing.assert_array_equal(np.asarray(out["a"]["w"]), src["a"]["w"])
+    np.testing.assert_array_equal(np.asarray(out["b"]["w"]), np.zeros((5,)))
+    np.testing.assert_array_equal(np.asarray(out["c"]["w"]), np.full((2,), 7.0))

@@ -166,10 +166,15 @@ def test_minkunet_dp_grad_equivalence():
     st_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
     plan_b = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
     lab_b = jnp.stack(labs)
-    p1, s1, o1, loss = dp_step(
+    p1, s1, o1, loss, hist = dp_step(
         replicate(mesh, params), replicate(mesh, stats),
         replicate(mesh, opt.init(params)), shard_batch(mesh, st_b),
         shard_batch(mesh, lab_b), shard_batch(mesh, plan_b))
+    # the psum'd train confusion matrix counts every valid labeled voxel
+    n_valid = sum(
+        int((np.asarray(s.valid) & (np.asarray(l) != IGNORE_LABEL)).sum())
+        for s, l in zip(sts, labs))
+    assert int(np.asarray(hist).sum()) == n_valid
 
     # serial reference: mean of per-shard grads, one SGD step
     def loss_fn(p, st, labels, plan):
@@ -224,12 +229,13 @@ def test_kpconv_dp_grad_equivalence():
     dp_step = build_kpconv_dp_step(model, opt, mesh, dl0=0.1,
                                    level_caps=kcaps)
     stack = lambda xs: jnp.stack([jnp.asarray(x) for x in xs])
-    p1, s1, o1, loss = dp_step(
+    p1, s1, o1, loss, acc = dp_step(
         replicate(mesh, params), replicate(mesh, stats),
         replicate(mesh, opt.init(params)),
         shard_batch(mesh, stack(pts_l)), shard_batch(mesh, stack(feat_l)),
         shard_batch(mesh, stack(lab_l)), shard_batch(mesh, stack(bid_l)),
         shard_batch(mesh, stack(val_l)))
+    assert 0.0 <= float(acc) <= 1.0
 
     def loss_fn(p, pts, feats, labels, bids, valid):
         pyr = build_pyramid(pts, bids, valid, 5, 0.1, level_caps=kcaps)
@@ -310,7 +316,7 @@ def test_pointgroup_dp_grad_equivalence():
     p1, s1, o1, loss = dp_step(
         replicate(mesh, params), replicate(mesh, stats),
         replicate(mesh, opt.init(params)),
-        *(shard_batch(mesh, x) for x in batched), key)
+        *(shard_batch(mesh, x) for x in batched), {}, key)
 
     def loss_fn(p, shard, k):
         out, _ = model.apply(

@@ -111,3 +111,37 @@ def make_pg_batch(tuples, n_cap, i_cap, rng=None, augment=False,
     inst = np.where((inst != IGNORE) & (inst < i_cap), inst, IGNORE)
     return PGHostBatch(coords, feats, batch_ids, valid, labels, inst,
                        centroid, pointnum, semn)
+
+
+def host_voxelize_plan(hb: PGHostBatch, voxel_size: float, voxel_cap: int,
+                       level_caps=None):
+    """Host-side voxelization + (optional) 7-level UNet plan for PointGroup.
+
+    The reference builds every spconv rulebook host-side (pointgroup
+    voxelize.cpp:59-152); this is the same division of labour — voxel dedup,
+    lexicographic ordering and the full pyramid plan run in the prefetch
+    worker so the device never waits for rulebook construction
+    (sparse/plan.py). Returns (voxel_coords (cap,4) int32 lex-sorted,
+    num_voxels, point2voxel (N,) with voxel_cap for dropped/invalid points,
+    plan | None)."""
+    from seggroup_tpu import native
+    from seggroup_tpu.sparse.plan import build_unet_plan
+
+    n_valid = int(hb.valid.sum())
+    ic = np.floor(hb.coords[:n_valid] / voxel_size).astype(np.int32)
+    if n_valid:
+        ic -= ic.min(0)
+    p2v_c, vc = native.voxelize_rulebook(ic, hb.batch_ids[:n_valid])
+    order = np.lexsort((vc[:, 3], vc[:, 2], vc[:, 1], vc[:, 0]))
+    rank = np.empty(len(vc), np.int32)
+    rank[order] = np.arange(len(vc), dtype=np.int32)
+    m = min(len(vc), voxel_cap)
+    vcoords = np.zeros((voxel_cap, 4), np.int32)
+    vcoords[:m] = vc[order][:m]
+    p2v = np.full(len(hb.coords), voxel_cap, np.int32)
+    ranked = rank[p2v_c]
+    p2v[:n_valid] = np.where(ranked < voxel_cap, ranked, voxel_cap)
+    plan = None
+    if level_caps is not None:
+        plan = build_unet_plan(vcoords, m, level_caps)
+    return vcoords, np.int32(m), p2v, plan

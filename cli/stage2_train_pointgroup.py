@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 from cli.stage1_common import should_stop, dump_config, SceneSource, add_common_args
-from cli.stage2_pointgroup_common import make_pg_batch, scene_instance_tuple
+from cli.stage2_pointgroup_common import (host_voxelize_plan, make_pg_batch,
+                                          scene_instance_tuple)
 from seggroup_tpu.utils.logging import IOStream
 
 
@@ -44,6 +45,16 @@ def main():
                         "(reference prepare_epochs=128 of 384)")
     p.add_argument("--save_freq", type=int, default=2000)
     p.add_argument("--m", type=int, default=16)
+    p.add_argument("--prefetch_depth", type=int, default=3)
+    p.add_argument("--resume", action="store_true",
+                   help="restore {params, batch_stats, opt_state} from the "
+                        "latest checkpoint and continue the step counter and "
+                        "LR schedule (reference util/utils.py:47-74)")
+    p.add_argument("--pretrain", type=str, default=None,
+                   help="checkpoint dir to initialize matching modules from "
+                        "(the reference's backbone-pretrain path, "
+                        "pointgroup.py:190-194 + load_model_param "
+                        "util/utils.py:101-110); shape mismatches keep init")
     args = p.parse_args()
 
     import jax
@@ -51,7 +62,7 @@ def main():
     import optax
 
     from seggroup_tpu.models.pointgroup import PointGroup, pointgroup_loss
-    from seggroup_tpu.ops.voxelize import voxel_gather_mean, voxelize
+    from seggroup_tpu.ops.voxelize import VoxelMap, voxel_gather_mean
     from seggroup_tpu.sparse.tensor import SparseTensor
     from seggroup_tpu.utils.checkpoint import CheckpointManager
 
@@ -69,43 +80,56 @@ def main():
     io.cprint(f"scenes: {len(train_idx)} train / {len(val_idx)} val")
     rng = np.random.default_rng(args.seed)
 
+    level_caps = [args.voxel_cap >> i for i in range(7)]
     model = PointGroup(classes=20, m=args.m, score_cap=args.voxel_cap // 8,
-                       level_caps=[args.voxel_cap >> i for i in range(7)])
+                       level_caps=level_caps)
 
-    def sample_batch(idx_pool=None, augment=True):
+    val_rng = np.random.default_rng(args.seed + 100)
+
+    def sample_batch(idx_pool=None, augment=True, use_rng=None):
+        # `use_rng` keeps validation (main thread) off the trainer rng that
+        # the prefetch thread owns — np Generators are not thread-safe.
+        # Voxelization + the 7-level pyramid plan run here too, so the whole
+        # host side overlaps device compute under the prefetcher.
+        r = rng if use_rng is None else use_rng
         pool = train_idx if idx_pool is None else idx_pool
         idx = [pool[int(j)] for j in
-               rng.integers(0, len(pool), size=args.batch_size)]
+               r.integers(0, len(pool), size=args.batch_size)]
         tuples = []
         for i in idx:
             scene, extras = source.get(int(i))
             tuples.append(scene_instance_tuple(
                 scene, extras, args.pseudo_root, source.names[int(i)]))
-        return make_pg_batch(tuples, args.point_cap, args.instance_cap,
-                             rng=rng, augment=augment)
+        hb = make_pg_batch(tuples, args.point_cap, args.instance_cap,
+                           rng=r, augment=augment)
+        vox = host_voxelize_plan(hb, args.voxel_size, args.voxel_cap,
+                                 level_caps)
+        return hb, vox
 
-    def to_device(hb):
-        ic = np.floor(hb.coords / args.voxel_size).astype(np.int32)
-        ic -= ic.min(0)
-        vm = voxelize(jnp.asarray(ic), jnp.asarray(hb.batch_ids),
-                      jnp.asarray(hb.valid), args.voxel_cap)
+    def to_device(hb, vox):
+        vcoords, num, p2v, plan = vox
+        vm = VoxelMap(jnp.asarray(vcoords), jnp.asarray(p2v),
+                      jnp.arange(args.voxel_cap) < jnp.int32(num),
+                      jnp.int32(num))
         feats = jnp.concatenate(
             [jnp.asarray(hb.feats), jnp.asarray(hb.coords)], axis=1
         )  # use_coords=True (run2 yaml)
         vfeats = voxel_gather_mean(feats, vm)
         st = SparseTensor(vm.voxel_coords, vfeats, vm.voxel_valid,
                           vm.num_voxels)
-        return st, vm.point2voxel
+        plan_dev = (jax.tree.map(jnp.asarray, plan)
+                    if plan is not None else {})
+        return st, vm.point2voxel, plan_dev
 
-    hb = sample_batch()
-    st0, p2v0 = to_device(hb)
+    hb, vox0 = sample_batch()
+    st0, p2v0, plan0 = to_device(hb, vox0)
     # init with clustering ON so the ScoreNet branch params exist from step 1
     variables = jax.jit(
-        lambda r, st, p2v, c, b, v: model.init(
+        lambda r, st, p2v, c, b, v, pl: model.init(
             r, st, p2v, c, b, v, do_clustering=True, train=True,
-            jitter_rng=jax.random.PRNGKey(0))
+            jitter_rng=jax.random.PRNGKey(0), plan=pl)
     )(jax.random.PRNGKey(args.seed), st0, p2v0, jnp.asarray(hb.coords),
-      jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid))
+      jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid), plan0)
     params, stats = variables["params"], variables["batch_stats"]
     io.cprint("Network parameters: %.2fM"
               % (sum(x.size for x in jax.tree.leaves(params)) / 1e6))
@@ -118,19 +142,36 @@ def main():
     opt = optax.adam(schedule)
     opt_state = opt.init(params)
     ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
-                                          "pointgroup"))
+                                          "pointgroup"), pow2_retention=True)
     best_ckpt = CheckpointManager(os.path.join("checkpoints", args.exp_name,
                                                "pointgroup_best"))
+    if args.pretrain:
+        from seggroup_tpu.utils.checkpoint import lenient_restore
+        params, n_loaded, n_tot = lenient_restore(args.pretrain, params,
+                                                  log=io.cprint)
+        io.cprint(f"pretrain init: {n_loaded}/{n_tot} tensors "
+                  f"from {args.pretrain}")
+    start_it = 0
+    if args.resume:
+        restored = ckpt.restore(template={
+            "params": params, "batch_stats": stats, "opt_state": opt_state})
+        if restored is not None:
+            params = restored["params"]
+            stats = restored["batch_stats"]
+            opt_state = restored["opt_state"]
+            start_it = ckpt.latest_step()
+            io.cprint(f"resumed from step {start_it} "
+                      f"(lr continues at {float(schedule(start_it)):.4g})")
 
     def make_step(do_clustering):
         @jax.jit
         def step(params, stats, opt_state, st, p2v, coords, batch_ids, valid,
-                 labels, inst, centroid, pointnum, key):
+                 labels, inst, centroid, pointnum, key, plan):
             def loss_fn(p):
                 out, mut = model.apply(
                     {"params": p, "batch_stats": stats}, st, p2v, coords,
                     batch_ids, valid, do_clustering=do_clustering, train=True,
-                    jitter_rng=key, mutable=["batch_stats"],
+                    jitter_rng=key, mutable=["batch_stats"], plan=plan,
                 )
                 total, aux = pointgroup_loss(
                     out, labels, inst, centroid, pointnum, coords, valid,
@@ -141,7 +182,7 @@ def main():
 
             (loss, (aux, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            updates, opt_state = opt.update(grads, opt_state)
+            updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, new_stats, opt_state, loss, aux
 
@@ -149,10 +190,10 @@ def main():
 
     @jax.jit
     def val_loss_step(params, stats, st, p2v, coords, batch_ids, valid,
-                      labels, inst, centroid, pointnum):
+                      labels, inst, centroid, pointnum, plan):
         out = model.apply({"params": params, "batch_stats": stats}, st, p2v,
                           coords, batch_ids, valid, do_clustering=False,
-                          train=False)
+                          train=False, plan=plan)
         total, _ = pointgroup_loss(out, labels, inst, centroid, pointnum,
                                    coords, valid,
                                    num_instances_cap=args.instance_cap,
@@ -162,14 +203,14 @@ def main():
     def validate():
         losses = []
         for j in range(max(1, len(val_idx) // args.batch_size)):
-            hb = sample_batch(val_idx, augment=False)
-            st, p2v = to_device(hb)
+            hb, vox = sample_batch(val_idx, augment=False, use_rng=val_rng)
+            st, p2v, plan = to_device(hb, vox)
             losses.append(float(val_loss_step(
                 params, stats, st, p2v, jnp.asarray(hb.coords),
                 jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
                 jnp.asarray(hb.labels), jnp.asarray(hb.instance_labels),
                 jnp.asarray(hb.instance_centroid),
-                jnp.asarray(hb.instance_pointnum))))
+                jnp.asarray(hb.instance_pointnum), plan)))
         return float(np.mean(losses))
 
     steps = {False: make_step(False), True: make_step(True)}
@@ -194,64 +235,86 @@ def main():
         opt_state = replicate(dp_mesh, opt_state)
         io.cprint(f"data parallel over {n_dev} devices")
 
+    # background host pipeline (single worker: `rng` and `source` are shared
+    # mutable state; the heavy work — augmentation + instance bookkeeping in
+    # make_pg_batch — runs off the step loop)
+    from seggroup_tpu.utils.prefetch import HostPrefetcher
+
+    if dp_steps is not None:
+        prefetch = HostPrefetcher(
+            lambda s: [sample_batch() for _ in range(n_dev)],
+            depth=args.prefetch_depth, workers=1, start=start_it)
+    else:
+        prefetch = HostPrefetcher(lambda s: sample_batch(),
+                                  depth=args.prefetch_depth, workers=1,
+                                  start=start_it)
+
+    def save_state(it):
+        ckpt.save(it, {"params": jax.device_get(params),
+                       "batch_stats": jax.device_get(stats),
+                       "opt_state": jax.device_get(opt_state)})
+
     key = jax.random.PRNGKey(args.seed + 1)
+    for _ in range(start_it):
+        key, _ = jax.random.split(key)  # replay the key chain on resume
     best_val = float("inf")
     t0 = time.time()
-    for it in range(1, args.steps + 1):
-        key, sub = jax.random.split(key)
-        clustering = it > args.prepare_steps
-        if dp_steps is not None:
-            cols = []
-            for _ in range(n_dev):
-                hb = sample_batch()
-                st, p2v = to_device(hb)
-                cols.append((st, p2v, jnp.asarray(hb.coords),
-                             jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
-                             jnp.asarray(hb.labels),
-                             jnp.asarray(hb.instance_labels),
-                             jnp.asarray(hb.instance_centroid),
-                             jnp.asarray(hb.instance_pointnum)))
-            batched = jax.tree.map(lambda *xs: jnp.stack(xs), *cols)
-            params, stats, opt_state, loss = dp_steps[clustering](
-                params, stats, opt_state,
-                *(shard_batch(dp_mesh, x) for x in batched), sub)
-            loss = loss / n_dev
-            aux = {}
-        else:
-            hb = sample_batch()
-            st, p2v = to_device(hb)
-            params, stats, opt_state, loss, aux = steps[clustering](
-                params, stats, opt_state, st, p2v, jnp.asarray(hb.coords),
-                jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
-                jnp.asarray(hb.labels), jnp.asarray(hb.instance_labels),
-                jnp.asarray(hb.instance_centroid),
-                jnp.asarray(hb.instance_pointnum), sub,
-            )
-        if it % 10 == 0 or it == args.steps:
-            parts = "  ".join(f"{k} {float(v):.4f}" for k, v in aux.items())
-            io.cprint("step %d/%d  loss %.4f  %s  (%.2fs/it)"
-                      % (it, args.steps, float(loss), parts,
-                         (time.time() - t0) / it))
-            tb.add_scalar("train/loss", float(loss), it)
-            for k, v in aux.items():
-                tb.add_scalar(f"train/{k}", float(v), it)
-        if should_stop(args.exp_name):
-            io.cprint('STOP file found — saving and exiting')
-            ckpt.save(it, {"params": jax.device_get(params),
-                           "batch_stats": jax.device_get(stats)})
-            break
-        if it % args.save_freq == 0 or it == args.steps:
-            ckpt.save(it, {"params": jax.device_get(params),
-                           "batch_stats": jax.device_get(stats)})
-            vl = validate()
-            marker = ""
-            if vl < best_val:
-                best_val = vl
-                best_ckpt.save(it, {"params": jax.device_get(params),
-                                    "batch_stats": jax.device_get(stats)})
-                marker = "  (new best)"
-            io.cprint(f"==> saved step {it}  val loss {vl:.4f}{marker}")
-            tb.add_scalar("val/loss", float(vl), it)
+    try:
+        for it in range(start_it + 1, args.steps + 1):
+            key, sub = jax.random.split(key)
+            clustering = it > args.prepare_steps
+            if dp_steps is not None:
+                cols = []
+                for hb, vox in next(prefetch):
+                    st, p2v, plan = to_device(hb, vox)
+                    cols.append((st, p2v, jnp.asarray(hb.coords),
+                                 jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
+                                 jnp.asarray(hb.labels),
+                                 jnp.asarray(hb.instance_labels),
+                                 jnp.asarray(hb.instance_centroid),
+                                 jnp.asarray(hb.instance_pointnum), plan))
+                batched = jax.tree.map(lambda *xs: jnp.stack(xs), *cols)
+                params, stats, opt_state, loss = dp_steps[clustering](
+                    params, stats, opt_state,
+                    *(shard_batch(dp_mesh, x) for x in batched), sub)
+                loss = loss / n_dev
+                aux = {}
+            else:
+                hb, vox = next(prefetch)
+                st, p2v, plan = to_device(hb, vox)
+                params, stats, opt_state, loss, aux = steps[clustering](
+                    params, stats, opt_state, st, p2v, jnp.asarray(hb.coords),
+                    jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid),
+                    jnp.asarray(hb.labels), jnp.asarray(hb.instance_labels),
+                    jnp.asarray(hb.instance_centroid),
+                    jnp.asarray(hb.instance_pointnum), sub, plan,
+                )
+            if it % 10 == 0 or it == args.steps:
+                parts = "  ".join(f"{k} {float(v):.4f}" for k, v in aux.items())
+                io.cprint("step %d/%d  loss %.4f  %s  (%.2fs/it)"
+                          % (it, args.steps, float(loss), parts,
+                             (time.time() - t0) / max(1, it - start_it)))
+                tb.add_scalar("train/loss", float(loss), it)
+                for k, v in aux.items():
+                    tb.add_scalar(f"train/{k}", float(v), it)
+            if should_stop(args.exp_name):
+                io.cprint('STOP file found — saving and exiting')
+                save_state(it)
+                break
+            if it % args.save_freq == 0 or it == args.steps:
+                save_state(it)
+                vl = validate()
+                marker = ""
+                if vl < best_val:
+                    best_val = vl
+                    best_ckpt.save(it, {"params": jax.device_get(params),
+                                        "batch_stats": jax.device_get(stats)})
+                    marker = "  (new best)"
+                io.cprint(f"==> saved step {it}  val loss {vl:.4f}{marker}")
+                tb.add_scalar("val/loss", float(vl), it)
+    finally:
+        prefetch.close()
+        tb.close()
 
 
 if __name__ == "__main__":

@@ -40,6 +40,7 @@ from seggroup_tpu.sparse.conv import (
     build_subm_rulebook,
     inverse_conv_up,
     strided_conv_down,
+    strided_conv_down_planned,
 )
 from seggroup_tpu.sparse.tensor import SparseTensor
 from seggroup_tpu.models.minkunet import SparseBatchNorm, SubMConv
@@ -54,7 +55,8 @@ class ResidualBlock(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, st: SparseTensor, rulebook, train: bool) -> SparseTensor:
+    def __call__(self, st: SparseTensor, rulebook, train: bool,
+                 windows: dict | None = None) -> SparseTensor:
         h = SparseBatchNorm(0.1, 1e-4, name="bn1")(st.feats, st.valid, train)
         h = nn.relu(h)
         pre = st.with_feats(h)
@@ -64,10 +66,11 @@ class ResidualBlock(nn.Module):
             identity = SubMConv(self.out_channels, 1, name="i_branch")(
                 pre, jnp.arange(st.capacity, dtype=jnp.int32)[:, None]
             )
-        h = SubMConv(self.out_channels, name="conv1")(pre, rulebook)
+        h = SubMConv(self.out_channels, name="conv1")(pre, rulebook, windows)
         h = SparseBatchNorm(0.1, 1e-4, name="bn2")(h, st.valid, train)
         h = nn.relu(h)
-        h = SubMConv(self.out_channels, name="conv2")(st.with_feats(h), rulebook)
+        h = SubMConv(self.out_channels, name="conv2")(st.with_feats(h),
+                                                      rulebook, windows)
         return st.with_feats(h + identity)
 
 
@@ -79,12 +82,22 @@ class UBlock(nn.Module):
     level_caps: Sequence[int] | None = None
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+    def __call__(self, st: SparseTensor, train: bool,
+                 plan: dict | None = None) -> SparseTensor:
+        """`plan` (optional): host-built pyramid plan for this subtree
+        (sparse/plan.py build_unet_plan with len(n_planes) level caps) —
+        skips every on-device rulebook/downsample build. The recursion
+        passes the tail of each plan list to the inner UBlock."""
         planes = list(self.n_planes)
         caps = list(self.level_caps or [st.capacity >> i for i in range(len(planes))])
-        rb = build_subm_rulebook(st, 3)
+        if plan is not None:
+            rb = plan["rulebooks"][0]
+            win = plan["windows"][0] if "windows" in plan else None
+        else:
+            rb = build_subm_rulebook(st, 3)
+            win = None
         for i in range(self.block_reps):
-            st = ResidualBlock(planes[0], name=f"block{i}")(st, rb, train)
+            st = ResidualBlock(planes[0], name=f"block{i}")(st, rb, train, win)
 
         if len(planes) > 1:
             h = SparseBatchNorm(0.1, 1e-4, name="conv_bn")(st.feats, st.valid, train)
@@ -94,9 +107,15 @@ class UBlock(nn.Module):
                 nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
                 (8, planes[0], planes[1]),
             )
-            st_dn, key = strided_conv_down(st.with_feats(h), w, caps[1])
+            if plan is not None:
+                st_dn, key = strided_conv_down_planned(st.with_feats(h), w,
+                                                       plan["down"][0])
+                sub_plan = {k: v[1:] for k, v in plan.items()}
+            else:
+                st_dn, key = strided_conv_down(st.with_feats(h), w, caps[1])
+                sub_plan = None
             st_dn = UBlock(planes[1:], self.block_reps, caps[1:], name="u")(
-                st_dn, train
+                st_dn, train, sub_plan
             )
             h = SparseBatchNorm(0.1, 1e-4, name="deconv_bn")(
                 st_dn.feats, st_dn.valid, train
@@ -112,7 +131,8 @@ class UBlock(nn.Module):
             st = st.with_feats(cat)
             rb_t = rb
             for i in range(self.block_reps):
-                st = ResidualBlock(planes[0], name=f"tail{i}")(st, rb_t, train)
+                st = ResidualBlock(planes[0], name=f"tail{i}")(st, rb_t, train,
+                                                               win)
         return st
 
 
@@ -153,14 +173,25 @@ class PointGroup(nn.Module):
         do_clustering: bool = False,
         train: bool = True,
         jitter_rng: jax.Array | None = None,
+        plan: dict | None = None,
     ) -> PGOutput:
+        """`plan` (optional): 7-level host plan (sparse/plan.py
+        build_unet_plan over the main UNet's voxel coords). The ScoreNet's
+        small UBlock always builds on device — its voxelization depends on
+        the predicted proposals, which the host cannot know ahead."""
         m = self.m
         planes = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m, 7 * m]
 
-        rb0 = build_subm_rulebook(voxels, 3)
-        h = SubMConv(m, name="input_conv")(voxels, rb0)
+        if plan is not None:
+            rb0 = plan["rulebooks"][0]
+            win0 = plan["windows"][0] if "windows" in plan else None
+        else:
+            rb0 = build_subm_rulebook(voxels, 3)
+            win0 = None
+        h = SubMConv(m, name="input_conv")(voxels, rb0, win0)
         st = voxels.with_feats(h)
-        st = UBlock(planes, self.block_reps, self.level_caps, name="unet")(st, train)
+        st = UBlock(planes, self.block_reps, self.level_caps, name="unet")(
+            st, train, plan)
         h = SparseBatchNorm(0.1, 1e-4, name="output_bn")(st.feats, st.valid, train)
         h = nn.relu(h)
 

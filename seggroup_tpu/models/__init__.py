@@ -50,16 +50,20 @@ def _register_lazy():
     # minkowski/models/__init__.py:46-57 + conditional_random_fields.py)
     from seggroup_tpu.models.crf import CRFWrapped
 
-    def _make_crf(variant):
+    def _make_crf(variant, temporal):
         def f(out_channels: int = 20, **kw):
             return CRFWrapped(
                 backbone=make_minkunet(variant, out_channels=out_channels, **kw),
                 num_classes=out_channels,
+                temporal=temporal,
             )
         return f
 
     for name in VARIANTS:
-        _REGISTRY[f"BilateralCRF-{name}"] = _make_crf(name)
+        _REGISTRY[f"BilateralCRF-{name}"] = _make_crf(name, False)
+        # TrilateralCRF: 7-D space+chroma+time mean field (reference
+        # conditional_random_fields.py:157-166; temporal sigma 1)
+        _REGISTRY[f"TrilateralCRF-{name}"] = _make_crf(name, True)
 
 
 _register_lazy()

@@ -19,8 +19,23 @@ def test_kernel_points_well_spread():
     np.testing.assert_allclose(kp[0], 0, atol=1e-6)  # center point fixed
     d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
     np.fill_diagonal(d, 1e9)
-    assert d.min() > 0.25  # no collapsed pairs
-    assert np.abs(kp).max() <= 1.0 + 1e-5
+    assert d.min() > 0.3  # no collapsed pairs
+    # reference normalization (kernel_points.py:176-177): mean radius of the
+    # moving points == ratio (1.0)
+    r = np.linalg.norm(kp[1:], axis=1)
+    assert abs(float(r.mean()) - 1.0) < 1e-5
+    assert r.max() < 1.6 and r.min() > 0.3
+
+
+def test_kernel_points_verticals_mode():
+    kp = kernel_point_positions(15, fixed="verticals")
+    np.testing.assert_allclose(kp[0], 0, atol=1e-6)
+    # points 1-2 stay on the z axis (xy gradients zeroed, reference
+    # kernel_points.py:124-125)
+    np.testing.assert_allclose(kp[1, :2], 0, atol=1e-6)
+    np.testing.assert_allclose(kp[2, :2], 0, atol=1e-6)
+    # opposite poles (either orientation — the potential is symmetric)
+    assert kp[1, 2] * kp[2, 2] < 0
 
 
 def test_ball_query_pair_oracle(rng):

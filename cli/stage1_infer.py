@@ -33,6 +33,11 @@ def main():
     p.add_argument("--ins_infer", action="store_true")
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--cluster_cap", type=int, default=1024)
+    p.add_argument("--knn_window", type=int, default=8192,
+                   help="cluster-kNN Morton-window budget; set both caps to "
+                        "num_points for the exact (reference-semantics) path "
+                        "on scenes with over-budget clusters — see "
+                        "scripts/stage1_exact_divergence.py")
     args = p.parse_args()
     assert args.sem_infer != args.ins_infer, "pick exactly one of --sem_infer/--ins_infer"
     mode = "sem_infer" if args.sem_infer else "ins_infer"
@@ -44,6 +49,7 @@ def main():
     source = SceneSource(args)
 
     model = SegGroupGNN(cluster_cap=args.cluster_cap,
+                        knn_window=args.knn_window,
                         sequential=not args.parallel_grouping,
                         fast_knn=args.fast_knn)
     scene0, _ = source.get(0)
@@ -70,12 +76,26 @@ def main():
     order = np.arange(len(source))
     t0 = time.time()
     done = 0
+    over_budget = 0
     for names, batch, extras in batches(source, n_dev, order):
         out = jax.device_get(infer_fn(var_r, shard_batch(mesh, batch)))
         for row, name in enumerate(names):
             export_scene(results_root, name, mode, out, extras[row], row)
             i_sem += out.iou_sem[row, 0]; u_sem += out.iou_sem[row, 1]
             i_ins += out.iou_ins[row, 0]; u_ins += out.iou_ins[row, 1]
+            # loud budget accounting: binding budgets flip threshold merges
+            # (docs/ARCHITECTURE.md deviations #2-3) — point at the exact path
+            mseg = int(np.asarray(out.max_segment_size).reshape(-1)[row])
+            mclu = int(np.asarray(out.max_cluster_size).reshape(-1)[row])
+            if mseg > args.cluster_cap or mclu > args.knn_window:
+                over_budget += 1
+                io.cprint(
+                    f"WARNING: {name} exceeds a static budget (largest "
+                    f"segment {mseg} vs --cluster_cap {args.cluster_cap}; "
+                    f"largest cluster {mclu} vs --knn_window "
+                    f"{args.knn_window}) — labels are approximate; re-run "
+                    f"this scene with budgets >= those sizes for the exact "
+                    f"reference-semantics path")
         done += len(names)
         with np.errstate(invalid="ignore", divide="ignore"):
             miou_s = np.nanmean(np.where(u_sem > 0, i_sem / u_sem, np.nan))
@@ -85,6 +105,9 @@ def main():
             % (mode, done, len(source), 100 * miou_s, 100 * miou_i,
                (time.time() - t0) / done)
         )
+    if over_budget:
+        io.cprint(f"WARNING: {over_budget}/{len(source)} scenes exceeded a "
+                  f"static budget (see per-scene warnings above)")
     io.cprint(f"wrote pseudo labels under {results_root}/<scene>/{mode}/")
 
 

@@ -33,6 +33,11 @@ def main():
     p.add_argument("--use_sgd", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--cluster_cap", type=int, default=1024)
+    p.add_argument("--knn_window", type=int, default=8192,
+                   help="cluster-kNN Morton-window budget; set both caps to "
+                        "num_points for the exact (reference-semantics) path "
+                        "on scenes with over-budget clusters — see "
+                        "scripts/stage1_exact_divergence.py")
     args = p.parse_args()
 
     io = IOStream(os.path.join("checkpoints", args.exp_name, "run.log"))
@@ -48,6 +53,7 @@ def main():
     io.cprint(f"scenes: {len(source)}")
 
     model = SegGroupGNN(cluster_cap=args.cluster_cap,
+                        knn_window=args.knn_window,
                         sequential=not args.parallel_grouping,
                         fast_knn=args.fast_knn)
     scene0, _ = source.get(0)

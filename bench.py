@@ -156,70 +156,204 @@ def baseline_points_per_sec(budget_s: float = 240.0):
     return N_POINTS / dt, dt
 
 
-def stage2_device_step(capacity=2 ** 19, batch_size=8, iters=4):
-    """Device-only train-step time at the reference's true batch budget
-    (train_limit_numpoints=1.2e6, scripts/train_scannet.sh:34; 2^19 voxels is
-    a typical realized batch)."""
+def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
+                                 batch_size=4, iters=6):
+    """End-to-end pipelined PointGroup training s/iter at the reference batch
+    budget (batch 4, clustering + ScoreNet ON — the post-prepare_epochs
+    steady state; reference config/pointgroup_run2_scannet.yaml batch 4,
+    max_npoint 250k, epochs 128..384 run clustering). Host threads build
+    batches + 7-level pyramid plans ahead of the device."""
     import jax
     import jax.numpy as jnp
     import optax
 
+    from cli.stage2_pointgroup_common import (PGHostBatch, host_voxelize_plan,
+                                              make_pg_batch)
     from seggroup_tpu.data.synthetic import make_synthetic_scene
-    from seggroup_tpu.data.voxel_dataset import IGNORE_LABEL, make_voxel_batch
-    from seggroup_tpu.models.minkunet import make_minkunet
-    from seggroup_tpu.sparse.plan import build_unet_plan
+    from seggroup_tpu.models.pointgroup import PointGroup, pointgroup_loss
+    from seggroup_tpu.ops.voxelize import VoxelMap, voxel_gather_mean
     from seggroup_tpu.sparse.tensor import SparseTensor
+    from seggroup_tpu.utils.prefetch import HostPrefetcher
 
-    scenes = []
+    tuples = []
     for i in range(batch_size):
         s = make_synthetic_scene(seed=i, num_points=N_POINTS, num_slots=N_SLOTS,
                                  num_edges=N_EDGES, num_instances=24,
                                  segs_per_instance=12, jax_arrays=False)
         pts = np.asarray(s.points)
-        # unit scale: ~11 m extent, matching real ScanNet room sizes
-        scenes.append((pts[:, :3].astype(np.float32),
+        tuples.append((pts[:, :3].astype(np.float32),
                        ((pts[:, 3:] + 1.0) * 127.5).astype(np.float32),
-                       np.asarray(s.real_sem).astype(np.int32) % 20))
-    caps = [capacity, capacity // 2, capacity // 4, capacity // 8,
-            capacity // 8]
-    model = make_minkunet("Res16UNet34C", out_channels=20, level_caps=caps)
-    rng = np.random.default_rng(0)
-    vb = make_voxel_batch(scenes, capacity, 0.02, rng=rng, augment=False)
-    plan = jax.tree.map(jnp.asarray,
-                        build_unet_plan(vb.coords, int(vb.num), caps))
-    st = SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
-                      jnp.asarray(vb.valid), jnp.asarray(vb.num))
-    labels = jnp.asarray(vb.labels)
-    variables = jax.jit(lambda r, s, pl: model.init(r, s, train=True, plan=pl))(
-        jax.random.PRNGKey(0), st, plan)
+                       (np.asarray(s.real_sem).astype(np.int32) % 20) + 1,
+                       np.asarray(s.real_ins).astype(np.int32) + 1))
+
+    level_caps = [voxel_cap >> i for i in range(7)]
+    instance_cap = 256
+    model = PointGroup(classes=20, m=16, score_cap=voxel_cap // 8,
+                       level_caps=level_caps)
+
+    def make_batch(step):
+        rng = np.random.default_rng(step)
+        hb = make_pg_batch(tuples, point_cap, instance_cap, rng=rng,
+                           augment=True)
+        vox = host_voxelize_plan(hb, 0.02, voxel_cap, level_caps,
+                                 window_levels=3)
+        return hb, vox
+
+    def to_device(hb, vox):
+        vcoords, num, p2v, plan = vox
+        vm = VoxelMap(jnp.asarray(vcoords), jnp.asarray(p2v),
+                      jnp.arange(voxel_cap) < jnp.int32(num), jnp.int32(num))
+        feats = jnp.concatenate([jnp.asarray(hb.feats),
+                                 jnp.asarray(hb.coords)], axis=1)
+        st = SparseTensor(vm.voxel_coords, voxel_gather_mean(feats, vm),
+                          vm.voxel_valid, vm.num_voxels)
+        return (st, vm.point2voxel, jax.tree.map(jnp.asarray, plan),
+                jnp.asarray(hb.coords), jnp.asarray(hb.batch_ids),
+                jnp.asarray(hb.valid), jnp.asarray(hb.labels),
+                jnp.asarray(hb.instance_labels),
+                jnp.asarray(hb.instance_centroid),
+                jnp.asarray(hb.instance_pointnum))
+
+    dev0 = to_device(*make_batch(0))
+    # init on a small-caps twin (param shapes are capacity-independent; a
+    # full-scale init would compile the whole program a second time)
+    init_cap = 2048
+    init_model = PointGroup(classes=20, m=16, score_cap=init_cap // 8,
+                            level_caps=[init_cap >> i for i in range(7)])
+    npt_s = 2 * init_cap
+    st_s = SparseTensor(jnp.zeros((init_cap, 4), jnp.int32),
+                        jnp.zeros((init_cap, 6)),
+                        jnp.ones((init_cap,), bool), jnp.int32(init_cap))
+    variables = jax.jit(
+        lambda r: init_model.init(
+            r, st_s, jnp.zeros((npt_s,), jnp.int32), jnp.zeros((npt_s, 3)),
+            jnp.zeros((npt_s,), jnp.int32), jnp.ones((npt_s,), bool),
+            do_clustering=True, train=True, jitter_rng=jax.random.PRNGKey(0))
+    )(jax.random.PRNGKey(0))
     params, stats = variables["params"], variables["batch_stats"]
-    opt = optax.sgd(1e-2, momentum=0.9)
+    opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
     @jax.jit
-    def train_step(params, stats, opt_state, st, labels, plan):
+    def train_step(params, stats, opt_state, st, p2v, plan, coords, bids,
+                   valid, labels, inst, centroid, pointnum, key):
         def loss_fn(p):
-            logits, mut = model.apply({"params": p, "batch_stats": stats}, st,
-                                      train=True, mutable=["batch_stats"],
-                                      plan=plan)
-            ok = st.valid & (labels != IGNORE_LABEL)
-            lp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(lp, jnp.clip(labels, 0, 19)[:, None],
-                                       axis=1)[:, 0]
-            return (jnp.sum(jnp.where(ok, nll, 0.0))
-                    / jnp.maximum(jnp.sum(ok), 1), mut["batch_stats"])
+            out, mut = model.apply(
+                {"params": p, "batch_stats": stats}, st, p2v, coords, bids,
+                valid, do_clustering=True, train=True, jitter_rng=key,
+                mutable=["batch_stats"], plan=plan)
+            total, _ = pointgroup_loss(
+                out, labels, inst, centroid, pointnum, coords, valid,
+                num_instances_cap=instance_cap, with_score=True)
+            return total, mut["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
-    params, stats, opt_state, loss = train_step(params, stats, opt_state, st,
-                                                labels, plan)
+    key = jax.random.PRNGKey(1)
+    params, stats, opt_state, loss = train_step(params, stats, opt_state,
+                                                *dev0, key)
+    _ = float(loss)
+    t0 = time.time()
+    for _ in range(4):
+        params, stats, opt_state, loss = train_step(params, stats, opt_state,
+                                                    *dev0, key)
+        _ = float(loss)
+    device_s = (time.time() - t0) / 4
+
+    prefetch = HostPrefetcher(lambda s: make_batch(s + 1), depth=3, workers=2)
+    try:
+        dev = to_device(*next(prefetch))
+        t0 = time.time()
+        for _ in range(iters):
+            dev = to_device(*next(prefetch))
+            params, stats, opt_state, loss = train_step(
+                params, stats, opt_state, *dev, key)
+            _ = float(loss)
+        pipe_s = (time.time() - t0) / iters
+    finally:
+        prefetch.close()
+    return device_s, pipe_s
+
+
+def stage2_kpconv_s_per_iter(point_cap=2 ** 17, batch_size=10, iters=6):
+    """KPConv train-step s/iter at the reference batch budget (batch_num 10
+    spheres of in_radius 2 m at dl0 4 cm, reference training_Scannet.py:95-126
+    — ~13k subsampled points/sphere). The pyramid builds on device inside the
+    jitted step (the KPConv analog of the CPU TF ops the reference runs per
+    batch, common.py:1021-1158), so device step == end-to-end step; the host
+    only samples spheres (overlapped by prefetch in the trainer)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from seggroup_tpu.models.kpconv import (KPFCNN, SCANNET_ARCHITECTURE,
+                                            build_pyramid)
+
+    rng = np.random.default_rng(0)
+    n = point_cap
+    per = n // batch_size
+    pts = np.zeros((n, 3), np.float32)
+    bids = np.zeros(n, np.int32)
+    for b in range(batch_size):
+        center = rng.uniform(0, 8, 3).astype(np.float32)
+        sl = slice(b * per, (b + 1) * per)
+        r = rng.uniform(0, 2.0, per) ** (1 / 3)
+        d = rng.normal(size=(per, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+        pts[sl] = center + (d * (2.0 * r[:, None])).astype(np.float32)
+        bids[sl] = b
+    valid = np.ones(n, bool)
+    # in_features_dim=4: constant 1 + rgb (reference training_Scannet.py:122)
+    feats = np.concatenate([np.ones((n, 1), np.float32),
+                            rng.random((n, 3)).astype(np.float32)], 1)
+    labels = rng.integers(0, 20, n).astype(np.int32)
+
+    caps = [n >> i for i in range(1, 6)]
+    model = KPFCNN(num_classes=20, architecture=SCANNET_ARCHITECTURE,
+                   first_features_dim=64, dl0=0.04)
+    dl0 = 0.04
+
+    pyr0 = jax.jit(lambda p, b, v: build_pyramid(p, b, v, num_layers=5,
+                                                 dl0=dl0, level_caps=caps))(
+        jnp.asarray(pts), jnp.asarray(bids), jnp.asarray(valid))
+    variables = jax.jit(
+        lambda r, pyr, f: model.init(r, pyr, f, train=True)
+    )(jax.random.PRNGKey(0), pyr0, jnp.asarray(feats))
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = optax.sgd(1e-2, momentum=0.98)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, stats, opt_state, pts, bids, valid, feats, labels):
+        pyr = build_pyramid(pts, bids, valid, num_layers=5, dl0=dl0,
+                            level_caps=caps)
+
+        def loss_fn(p):
+            (logits, regs), mut = model.apply(
+                {"params": p, "batch_stats": stats}, pyr, feats, train=True,
+                mutable=["batch_stats"])
+            ok = valid
+            lp = jax.nn.log_softmax(logits, -1)
+            nll = -jnp.take_along_axis(lp, jnp.clip(labels, 0, 19)[:, None],
+                                       1)[:, 0]
+            ce = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+            return ce + 1e-3 * regs, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    jp, jb, jv, jf, jl = (jnp.asarray(x) for x in (pts, bids, valid, feats,
+                                                   labels))
+    params, stats, opt_state, loss = train_step(params, stats, opt_state,
+                                                jp, jb, jv, jf, jl)
     _ = float(loss)
     t0 = time.time()
     for _ in range(iters):
         params, stats, opt_state, loss = train_step(params, stats, opt_state,
-                                                    st, labels, plan)
+                                                    jp, jb, jv, jf, jl)
         _ = float(loss)
     return (time.time() - t0) / iters
 
@@ -319,11 +453,16 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
 
 
 def main():
+    from seggroup_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     tpu_pps, tpu_dt = tpu_points_per_sec()            # default: bit-faithful
     fast_pps, fast_dt = tpu_points_per_sec(sequential=False, fast_knn=True)
     base_pps, base_dt = baseline_points_per_sec()
     s2_device, s2_pipe = stage2_minkunet_s_per_iter()
-    s2_big = stage2_device_step()
+    s2_big_device, s2_big_pipe = stage2_minkunet_s_per_iter(capacity=2 ** 19,
+                                                           iters=6)
+    pg_device, pg_pipe = stage2_pointgroup_s_per_iter()
+    kp_step = stage2_kpconv_s_per_iter()
     ref_v100_s_per_iter = 1.5  # midpoint of the ~1-2 s/iter V100 figure
     print(
         json.dumps(
@@ -343,14 +482,25 @@ def main():
                     "scene": {"points": N_POINTS, "segments": N_SLOTS,
                               "edges": N_EDGES},
                     "stage2_minkunet_train": {
-                        "config": "Res16UNet34C batch=8 voxel=2cm cap=2^17",
+                        "config": "Res16UNet34C batch=8 voxel=2cm",
                         "s_per_iter_pipelined": round(s2_pipe, 3),
                         "s_per_iter_device_step": round(s2_device, 3),
-                        "s_per_iter_device_step_at_2^19_voxels": round(s2_big, 3),
+                        "s_per_iter_pipelined_at_2^19": round(s2_big_pipe, 3),
+                        "s_per_iter_device_step_at_2^19": round(
+                            s2_big_device, 3),
                         "reference_v100_s_per_iter": ref_v100_s_per_iter,
                         "reference_batch_budget": "train_limit_numpoints=1.2M (scripts/train_scannet.sh:34); 2^19 voxels matches a realized batch",
-                        "speedup_vs_v100_at_reference_scale": round(
-                            ref_v100_s_per_iter / s2_big, 2),
+                        "speedup_vs_v100_end_to_end": round(
+                            ref_v100_s_per_iter / s2_big_pipe, 2),
+                    },
+                    "stage2_pointgroup_train": {
+                        "config": "batch=4 clustering+ScoreNet pts=2^19 vox=2^18 (reference run2 yaml batch 4)",
+                        "s_per_iter_pipelined": round(pg_pipe, 3),
+                        "s_per_iter_device_step": round(pg_device, 3),
+                    },
+                    "stage2_kpconv_train": {
+                        "config": "batch=10 2m spheres dl0=4cm pts=2^17 (reference training_Scannet.py:95-126)",
+                        "s_per_iter": round(kp_step, 3),
                     },
                 },
             }

@@ -4,6 +4,13 @@ from __future__ import annotations
 
 import os
 
+from seggroup_tpu.utils.jit_cache import enable_persistent_cache
+
+# persistent XLA compile cache: the stage-1 grouping scans and stage-2 UNet
+# steps are minutes to compile through the remote helper; cached re-runs
+# start in seconds
+enable_persistent_cache()
+
 # honor SEGGROUP_TPU_PLATFORM=cpu before any device use (the axon
 # sitecustomize overrides JAX_PLATFORMS, so an env var + config flag is the
 # only reliable way to select the CPU backend for tests/CI)

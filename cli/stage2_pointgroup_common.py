@@ -114,7 +114,7 @@ def make_pg_batch(tuples, n_cap, i_cap, rng=None, augment=False,
 
 
 def host_voxelize_plan(hb: PGHostBatch, voxel_size: float, voxel_cap: int,
-                       level_caps=None):
+                       level_caps=None, window_levels: int | None = 3):
     """Host-side voxelization + (optional) 7-level UNet plan for PointGroup.
 
     The reference builds every spconv rulebook host-side (pointgroup
@@ -143,5 +143,6 @@ def host_voxelize_plan(hb: PGHostBatch, voxel_size: float, voxel_cap: int,
     p2v[:n_valid] = np.where(ranked < voxel_cap, ranked, voxel_cap)
     plan = None
     if level_caps is not None:
-        plan = build_unet_plan(vcoords, m, level_caps)
+        plan = build_unet_plan(vcoords, m, level_caps,
+                               window_levels=window_levels)
     return vcoords, np.int32(m), p2v, plan

@@ -37,6 +37,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from seggroup_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from seggroup_tpu.eval.instance_ap import (

@@ -61,6 +61,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from seggroup_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import optax
 

@@ -85,6 +85,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from seggroup_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import optax
 
@@ -140,12 +143,19 @@ def main():
                           jnp.asarray(vb.valid), jnp.asarray(vb.num))
         return st, jnp.asarray(vb.labels), jax.tree.map(jnp.asarray, plan)
 
-    vb0, plan0 = make_batch(0, train_idx, True)
-    st0, labels0, plan0 = to_device(vb0, plan0)
-    # jit the init: eager init dispatches hundreds of tiny ops (very slow
-    # through the axon tunnel); one compiled program instead
-    variables = jax.jit(lambda r, s, pl: model.init(r, s, train=True, plan=pl))(
-        jax.random.PRNGKey(args.seed), st0, plan0)
+    # init on a SMALL-caps twin module (one jitted program, tiny shapes):
+    # parameter shapes depend only on the channel plan, and a full-scale
+    # init would compile the whole full-size program a second time
+    init_cap = min(2048, args.capacity)
+    init_model = make_minkunet(
+        args.model, out_channels=args.num_classes,
+        level_caps=[init_cap, init_cap // 2, init_cap // 4, init_cap // 8,
+                    init_cap // 8])
+    st_s = SparseTensor(jnp.zeros((init_cap, 4), jnp.int32),
+                        jnp.zeros((init_cap, 3)),
+                        jnp.ones((init_cap,), bool), jnp.int32(init_cap))
+    variables = jax.jit(lambda r: init_model.init(r, st_s, train=True))(
+        jax.random.PRNGKey(args.seed))
     params, stats = variables["params"], variables["batch_stats"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     io.cprint(f"Network parameters: {n_params/1e6:.2f}M")

@@ -58,6 +58,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from seggroup_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import optax
 
@@ -121,15 +124,24 @@ def main():
                     if plan is not None else {})
         return st, vm.point2voxel, plan_dev
 
-    hb, vox0 = sample_batch()
-    st0, p2v0, plan0 = to_device(hb, vox0)
-    # init with clustering ON so the ScoreNet branch params exist from step 1
+    # init on a SMALL-caps twin module: parameter shapes depend only on the
+    # channel plan, not the capacities, and initializing at full scale would
+    # compile the entire full-size program a second time (~minutes of Mosaic
+    # compile for the 7-level UNet through the remote TPU helper)
+    init_cap = min(2048, args.voxel_cap)
+    init_model = PointGroup(classes=20, m=args.m, score_cap=init_cap // 8,
+                            level_caps=[init_cap >> i for i in range(7)])
+    npt_s = 2 * init_cap
+    st_s = SparseTensor(jnp.zeros((init_cap, 4), jnp.int32),
+                        jnp.zeros((init_cap, 6)),
+                        jnp.ones((init_cap,), bool), jnp.int32(init_cap))
     variables = jax.jit(
-        lambda r, st, p2v, c, b, v, pl: model.init(
-            r, st, p2v, c, b, v, do_clustering=True, train=True,
-            jitter_rng=jax.random.PRNGKey(0), plan=pl)
-    )(jax.random.PRNGKey(args.seed), st0, p2v0, jnp.asarray(hb.coords),
-      jnp.asarray(hb.batch_ids), jnp.asarray(hb.valid), plan0)
+        lambda r: init_model.init(
+            r, st_s, jnp.zeros((npt_s,), jnp.int32), jnp.zeros((npt_s, 3)),
+            jnp.zeros((npt_s,), jnp.int32), jnp.ones((npt_s,), bool),
+            do_clustering=True, train=True,
+            jitter_rng=jax.random.PRNGKey(0))
+    )(jax.random.PRNGKey(args.seed))
     params, stats = variables["params"], variables["batch_stats"]
     io.cprint("Network parameters: %.2fM"
               % (sum(x.size for x in jax.tree.leaves(params)) / 1e6))

@@ -273,23 +273,23 @@ def ball_query_pair(
         axis=-1,
     ).reshape(27, 3)
 
-    def gather_cell(off):
-        nb_cells = q_cells + off[None, :]
-        nb_key = _cell_key(nb_cells, dims) + query_batch.astype(jnp.int32) * span
-        start = jnp.searchsorted(s_key_sorted, nb_key, side="left")
-        stop = jnp.searchsorted(s_key_sorted, nb_key, side="right")
-        slots = jnp.minimum(start[:, None] + jnp.arange(bucket_cap)[None, :],
-                            ns - 1)
-        ok = s_key_sorted[slots] == nb_key[:, None]
-        # true cell occupancy: candidates beyond bucket_cap are never gathered
-        # and must still trip the overflow flag (they may be in-radius)
-        missed = (stop - start) > bucket_cap
-        return order[slots], ok, missed
-
-    cand_idx, cand_ok, cand_missed = jax.vmap(gather_cell)(offsets)
-    cand_idx = jnp.moveaxis(cand_idx, 0, 1).reshape(nq, 27 * bucket_cap)
-    cand_ok = jnp.moveaxis(cand_ok, 0, 1).reshape(nq, 27 * bucket_cap)
-    bucket_overflow = jnp.any(cand_missed, axis=0) & query_valid
+    # flat (Nq, 27*cap) candidate layout (see ball_query: the per-cell vmap
+    # gathers with minor dim `cap`, which TPU tiling pads 16 -> 128 lanes)
+    base_key = _cell_key(q_cells, dims) + query_batch.astype(jnp.int32) * span
+    off_key = (offsets[:, 0] * dims[1] + offsets[:, 1]) * dims[2] + offsets[:, 2]
+    nb_key = base_key[:, None] + off_key[None, :]  # (Nq, 27)
+    start = jnp.searchsorted(s_key_sorted, nb_key, side="left")
+    stop = jnp.searchsorted(s_key_sorted, nb_key, side="right")
+    # true cell occupancy: candidates beyond bucket_cap are never gathered
+    # and must still trip the overflow flag (they may be in-radius)
+    bucket_overflow = jnp.any((stop - start) > bucket_cap, axis=1) & query_valid
+    slots = (start[:, :, None] + jnp.arange(bucket_cap)[None, None, :]
+             ).reshape(nq, 27 * bucket_cap)
+    slots = jnp.minimum(slots, ns - 1)
+    nb_key_flat = jnp.broadcast_to(
+        nb_key[:, :, None], (nq, 27, bucket_cap)).reshape(nq, 27 * bucket_cap)
+    cand_ok = s_key_sorted[slots] == nb_key_flat
+    cand_idx = order[slots]
 
     # per-axis gathered differences (see ball_query: a fused (Nq, 27*cap, 3)
     # gather pads its trailing dim 3 -> 128 lanes under TPU tiling)
@@ -352,7 +352,6 @@ def ball_query(
 
     order = jnp.argsort(key).astype(jnp.int32)
     s_key = key[order]
-    s_coords = coords[order]
 
     # candidate gather: for each point, 27 stencil cells x bucket_cap slots
     offsets = jnp.stack(
@@ -362,47 +361,67 @@ def ball_query(
         axis=-1,
     ).reshape(27, 3)
 
-    def gather_cell(off):
-        nb_cells = cells + off[None, :]
-        nb_key = _cell_key(nb_cells, dims) + batch_ids.astype(jnp.int32) * (
-            dims[0] * dims[1] * dims[2]
-        )
+    # all 27 offset keys at once, then flat (B, 27*cap) gathers per query
+    # chunk: a per-cell vmap gathers (27, N, cap) with minor dim `cap` —
+    # under TPU tiling that pads cap=16 -> 128 lanes (8x, 6.75 GB at 2^19
+    # points). The flat layout's minor dim 27*cap tiles cleanly, and the
+    # lax.map over query chunks bounds PEAK memory at a few (B, 27*cap)
+    # buffers (~60 MB at B=32768) instead of N-sized gigabyte temporaries.
+    span = dims[0] * dims[1] * dims[2]
+    base_key = _cell_key(cells, dims) + batch_ids.astype(jnp.int32) * span
+    # key(cell + off) = key(cell) + off·(strides): the linear key is affine
+    off_key = (offsets[:, 0] * dims[1] + offsets[:, 1]) * dims[2] + offsets[:, 2]
+
+    big = jnp.float32(1e30)
+    cw = 27 * bucket_cap
+
+    def query_block(args):
+        bkey, qxyz, qvalid, self_idx = args  # (B,), (B,3), (B,), (B,)
+        nb_key = bkey[:, None] + off_key[None, :]  # (B, 27)
         start = jnp.searchsorted(s_key, nb_key, side="left")
         stop = jnp.searchsorted(s_key, nb_key, side="right")
-        # up to bucket_cap members of that cell
-        slots = start[:, None] + jnp.arange(bucket_cap)[None, :]
+        # true cell occupancy so candidates beyond bucket_cap (never
+        # gathered, possibly in-radius) still trip the overflow flag
+        b_over = jnp.any((stop - start) > bucket_cap, axis=1) & qvalid
+        b = bkey.shape[0]
+        slots = (start[:, :, None] + jnp.arange(bucket_cap)[None, None, :]
+                 ).reshape(b, cw)
         slots = jnp.minimum(slots, N - 1)
-        ok = s_key[slots] == nb_key[:, None]
-        # true cell occupancy so candidates beyond bucket_cap (never gathered,
-        # possibly in-radius) still trip the overflow flag
-        missed = (stop - start) > bucket_cap
-        return order[slots], ok, missed  # (N, bucket_cap), (N, cap), (N,)
+        nb_key_flat = jnp.broadcast_to(
+            nb_key[:, :, None], (b, 27, bucket_cap)).reshape(b, cw)
+        cand_ok = s_key[slots] == nb_key_flat
+        cand_idx = order[slots]
+        # per-axis gathered differences: a fused (B, 27*cap, 3) gather would
+        # be materialized as f32[B*27*cap, 3] whose trailing dim pads to 128
+        # lanes under TPU tiling (43x memory)
+        d = jnp.zeros((b, cw), jnp.float32)
+        for c in range(3):
+            dc = coords[:, c][cand_idx] - qxyz[:, c, None]
+            d = d + dc * dc
+        in_ball = (cand_ok & (d <= radius * radius) & qvalid[:, None]
+                   & valid[cand_idx])
+        d = jnp.where(in_ball, d, big)
+        neg_d, sel = jax.lax.top_k(-d, K)
+        nbrs = jnp.take_along_axis(cand_idx, sel, axis=1).astype(jnp.int32)
+        got = neg_d > -big
+        counts = jnp.sum(got, axis=1).astype(jnp.int32)
+        nbrs = jnp.where(got, nbrs, self_idx[:, None])
+        # overflow: more in-radius candidates than K slots, or a stencil
+        # cell denser than bucket_cap
+        over = (jnp.sum(in_ball, axis=1).astype(jnp.int32) > K) | b_over
+        return nbrs, counts, over
 
-    cand_idx, cand_ok, cand_missed = jax.vmap(gather_cell)(offsets)  # (27, ...)
-    cand_idx = jnp.moveaxis(cand_idx, 0, 1).reshape(N, 27 * bucket_cap)
-    cand_ok = jnp.moveaxis(cand_ok, 0, 1).reshape(N, 27 * bucket_cap)
-    bucket_overflow = jnp.any(cand_missed, axis=0) & valid
-
-    # per-axis gathered differences: a fused (N, 27*cap, 3) gather would be
-    # materialized by XLA as f32[N*27*cap, 3] whose trailing dim pads to 128
-    # lanes under TPU tiling (43x memory — 29 GB at 2^17 points); three
-    # (N, 27*cap) gathers tile cleanly
-    d = jnp.zeros(cand_idx.shape, jnp.float32)
-    for c in range(3):
-        dc = coords[:, c][cand_idx] - coords[:, c, None]
-        d = d + dc * dc
-    in_ball = cand_ok & (d <= radius * radius) & valid[:, None] & valid[cand_idx]
-    big = jnp.float32(1e30)
-    d = jnp.where(in_ball, d, big)
-
-    neg_d, sel = jax.lax.top_k(-d, K)
-    nbrs = jnp.take_along_axis(cand_idx, sel, axis=1).astype(jnp.int32)
-    got = neg_d > -big
-    counts = jnp.sum(got, axis=1).astype(jnp.int32)
-    self_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
-    nbrs = jnp.where(got, nbrs, self_idx)
-    # overflow: more in-radius candidates existed than K slots, or a stencil
-    # cell held more candidates than bucket_cap could gather
-    total_in_ball = jnp.sum(in_ball, axis=1).astype(jnp.int32)
-    overflow = (total_in_ball > K) | bucket_overflow
+    chunk = 32768 if N % 32768 == 0 and N > 32768 else N
+    nb_blocks = N // chunk
+    args = (base_key.reshape(nb_blocks, chunk),
+            coords.reshape(nb_blocks, chunk, 3),
+            valid.reshape(nb_blocks, chunk),
+            jnp.arange(N, dtype=jnp.int32).reshape(nb_blocks, chunk))
+    if nb_blocks == 1:
+        nbrs, counts, overflow = query_block(jax.tree.map(lambda x: x[0], args))
+    else:
+        nbrs, counts, overflow = jax.lax.map(query_block, args)
+        nbrs = nbrs.reshape(N, K)
+        counts = counts.reshape(N)
+        overflow = overflow.reshape(N)
     return nbrs, counts, overflow

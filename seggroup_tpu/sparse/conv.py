@@ -46,7 +46,8 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
     return g.astype(np.int32)
 
 
-def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3) -> jax.Array:
+def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
+                        assume_sorted: bool = False) -> jax.Array:
     """(M, K) neighbor row index per kernel offset; == M where absent.
     Output sites == input sites (submanifold semantics).
 
@@ -55,9 +56,13 @@ def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3) -> jax.Array:
     sorted order — one binary search per (dx,dy) group (8 searches for k=3
     instead of 27) plus three candidate-position probes resolves all of them.
     The center group needs no search at all (self rank +- 1).
+
+    assume_sorted: rows are already in lexicographic (batch,x,y,z) order
+    with the valid prefix first (the host voxelizer's contract,
+    data/voxel_dataset.py:39-42) — skips the device argsort entirely.
     """
     if kernel_size == 3:
-        return _build_subm_rulebook_k3(st)
+        return _build_subm_rulebook_k3(st, assume_sorted)
     return _build_subm_rulebook_generic(st, kernel_size)
 
 
@@ -82,12 +87,20 @@ def _lower_bound(hi_sorted, lo_sorted, q_hi, q_lo):
     return lo_b
 
 
-def _build_subm_rulebook_k3(st: SparseTensor) -> jax.Array:
+def _build_subm_rulebook_k3(st: SparseTensor,
+                            assume_sorted: bool = False) -> jax.Array:
     m = st.capacity
-    order, hi_s, lo_s = sort_coords(st.coords, st.valid)
-    rank = jnp.zeros((m,), jnp.int32).at[order].set(
-        jnp.arange(m, dtype=jnp.int32))
     hi, lo = pack_keys(st.coords)
+    if assume_sorted:
+        order = jnp.arange(m, dtype=jnp.int32)
+        rank = order
+        big_k = jnp.int32(jnp.iinfo(jnp.int32).max)
+        hi_s = jnp.where(st.valid, hi, big_k)
+        lo_s = jnp.where(st.valid, lo, big_k)
+    else:
+        order, hi_s, lo_s = sort_coords(st.coords, st.valid)
+        rank = jnp.zeros((m,), jnp.int32).at[order].set(
+            jnp.arange(m, dtype=jnp.int32))
     order_pad = jnp.concatenate([order, jnp.full((1,), m, jnp.int32)])
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
     hi_pad = jnp.concatenate([hi_s, jnp.full((1,), big, jnp.int32)])

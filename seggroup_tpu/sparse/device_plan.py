@@ -1,0 +1,94 @@
+"""Device-built UNet pyramid plans (the minimal-transfer training path).
+
+The host-built plans (sparse/plan.py) are bit-exact and ~10 ms/level in C++,
+but shipping them to the device costs ~240 MB per 2^19-voxel batch — through
+a remote-TPU tunnel (or any bandwidth-constrained host link) that transfer
+dominates the train step several times over. This module builds the SAME
+plan pytree on device from nothing but the (already lexicographically
+sorted) voxel coordinates, so the wire carries only coords+feats+labels
+(~10 MB): the analog of the reference's design point where spconv /
+MinkowskiEngine build rulebooks host-side next to a PCIe-attached GPU
+(reference pointgroup voxelize.cpp:59-152) — on TPU the joins are
+sort-free binary searches that vectorize better on device than they ship.
+
+Bit-equality with sparse/plan.build_unet_plan is asserted by
+tests/test_sparse_plan.py (same rulebooks, same down maps, same Pallas
+windows, same use_window flags).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from seggroup_tpu.sparse.conv import build_subm_rulebook, downsample_coords
+from seggroup_tpu.sparse.tensor import SparseTensor
+
+
+def build_windows_device(rulebook: jax.Array, tile: int, window: int):
+    """Device analog of native.subm_windows (same layout, same overflow
+    contract — see native.py:215-247): per-(tile, dx/dy-group) aligned window
+    bases + window-local dz-block-interleaved indices for the Pallas fused
+    gather. Returns {"rb_win", "win_base", "use_window"} with use_window a
+    traced bool (False => the conv takes the exact global-gather branch)."""
+    m = rulebook.shape[0]
+    n_tiles = m // tile
+    rb3 = rulebook.reshape(n_tiles, tile, 9, 3)
+    present = rb3 < m
+    lo = jnp.min(jnp.where(present, rb3, m), axis=(1, 3))  # (n_tiles, 9)
+    base = jnp.where(lo == m, 0, lo & ~15).astype(jnp.int32)
+    d = rb3 - base[:, None, :, None]
+    fits = present & (d >= 0) & (d < window)
+    local = jnp.where(fits, d, window).astype(jnp.int32)
+    use_window = ~jnp.any(present & ~fits)
+    rb_win = local.transpose(0, 3, 1, 2).reshape(3 * m, 9)
+    return {"rb_win": rb_win, "win_base": base, "use_window": use_window}
+
+
+@partial(jax.jit, static_argnames=("level_caps", "with_windows",
+                                   "window_levels"))
+def build_unet_plan_device(coords: jax.Array, num: jax.Array,
+                           level_caps: tuple[int, ...],
+                           with_windows: bool = True,
+                           window_levels: int | None = None) -> dict:
+    """Device twin of sparse/plan.build_unet_plan: coords (cap0, 4) int32 in
+    lexicographic order with the first `num` rows valid -> the same plan
+    pytree, built entirely on device (one jitted program, no host round
+    trip). level_caps must be a hashable tuple (static)."""
+    from seggroup_tpu.sparse import pallas_conv
+
+    assert coords.shape[0] == level_caps[0], (coords.shape, level_caps)
+    valid = jnp.arange(level_caps[0]) < num
+    st = SparseTensor(coords, jnp.zeros((level_caps[0], 1)), valid, num)
+    rulebooks = [build_subm_rulebook(st, assume_sorted=True)]
+    down = []
+    cur = st
+    for cap_out in level_caps[1:]:
+        # the down map needs a real lexsort (halving coords creates ties in
+        # earlier components, so `>> 1` does NOT preserve lexicographic
+        # order) — but its OUTPUT is emitted sorted-unique, so the next
+        # level's rulebook search is sort-free again
+        out_c, valid_out, m_out, out_row, delta = downsample_coords(
+            cur, cap_out)
+        # host plans clamp num at cap_out (native.downsample_plan's m)
+        down.append({"coords": out_c,
+                     "num": jnp.minimum(m_out, cap_out).astype(jnp.int32),
+                     "out_row": out_row, "delta": delta})
+        cur = SparseTensor(out_c, jnp.zeros((cap_out, 1)), valid_out, m_out)
+        rulebooks.append(build_subm_rulebook(cur, assume_sorted=True))
+    plan = {"rulebooks": rulebooks, "down": down}
+    if with_windows:
+        windows = []
+        for lvl, rb in enumerate(rulebooks):
+            if window_levels is not None and lvl >= window_levels:
+                windows.append(None)
+            elif (rb.shape[0] % pallas_conv.TILE == 0
+                    and rb.shape[0] >= 8 * pallas_conv.TILE):
+                windows.append(build_windows_device(
+                    rb, pallas_conv.TILE, pallas_conv.WINDOW))
+            else:
+                windows.append(None)
+        plan["windows"] = windows
+    return plan

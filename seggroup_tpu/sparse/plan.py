@@ -26,7 +26,8 @@ from seggroup_tpu import native
 
 def build_unet_plan(coords: np.ndarray, num: int,
                     level_caps: Sequence[int],
-                    with_windows: bool = True) -> dict:
+                    with_windows: bool = True,
+                    window_levels: int | None = None) -> dict:
     """coords: (cap0, 4) int32 (b,x,y,z) with the first `num` rows valid.
     level_caps: per-level capacities, len L+1 for L down steps (MinkUNet: 5).
 
@@ -34,11 +35,21 @@ def build_unet_plan(coords: np.ndarray, num: int,
       rulebooks: list of L+1 (cap_l, 27) int32 kernel-3 rulebooks
       down: list of L dicts with coords (cap_{l+1},4), num (), out_row
             (cap_l,), delta (cap_l,) — inputs to strided_conv_down_planned.
-      windows: list of L+1 dicts {"rb_win", "win_base", "use_window"} for the
-            Pallas fused gather (pallas_conv.TILE/WINDOW sizes). use_window
-            is False for a level whose neighbors did not all fit their
-            windows (voxels not lexicographically sorted, or pathological
-            density) — the conv then falls back to the exact global gather.
+      windows: list of L+1 entries — {"rb_win", "win_base", "use_window"}
+            for the Pallas fused gather (pallas_conv.TILE/WINDOW sizes), or
+            None for a level without windows (the conv then uses the plain
+            XLA gather and NO Pallas kernel is compiled for that level).
+            use_window is False for a level whose neighbors did not all fit
+            their windows (voxels not lexicographically sorted, or
+            pathological density) — the conv then falls back to the exact
+            global gather.
+    window_levels: emit Pallas windows only for the first k levels. Each
+            windowed level costs ~3 Mosaic kernel compiles (fwd/dfeats/dw,
+            minutes total for a deep UNet through the remote TPU compile
+            helper) while the runtime win concentrates in the big top
+            levels; deep small levels are cheap either way. None = all
+            levels (MinkUNet's 5-level plans); PointGroup's 7-level trainer
+            defaults to 3.
     """
     from seggroup_tpu.sparse import pallas_conv
 
@@ -60,19 +71,16 @@ def build_unet_plan(coords: np.ndarray, num: int,
     plan = {"rulebooks": rulebooks, "down": down}
     if with_windows:
         windows = []
-        for rb in rulebooks:
-            if (len(rb) % pallas_conv.TILE == 0
+        for lvl, rb in enumerate(rulebooks):
+            if window_levels is not None and lvl >= window_levels:
+                windows.append(None)
+            elif (len(rb) % pallas_conv.TILE == 0
                     and len(rb) >= 8 * pallas_conv.TILE):
                 base, rb_win, ovf = native.subm_windows(
                     rb, pallas_conv.TILE, pallas_conv.WINDOW)
                 windows.append({"rb_win": rb_win, "win_base": base,
                                 "use_window": np.bool_(ovf == 0)})
             else:
-                nt = max(1, len(rb) // pallas_conv.TILE)
-                windows.append({
-                    "rb_win": np.zeros((3 * len(rb), 9), np.int32),
-                    "win_base": np.zeros((nt, 9), np.int32),
-                    "use_window": np.bool_(False),
-                })
+                windows.append(None)
         plan["windows"] = windows
     return plan

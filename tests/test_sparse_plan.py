@@ -1,5 +1,6 @@
 """Host-built UNet plans == device-built rulebooks/down-maps (bit parity)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -178,3 +179,70 @@ def test_prefetcher_order_and_errors():
         pass
     finally:
         pf.close()
+
+
+def _sorted_voxels(rng, cap, n, grid, batches=2):
+    """Unique (b,x,y,z) voxels in lexicographic order, valid prefix first,
+    zero padding — the host voxelizer's output contract."""
+    seen = set()
+    rows = []
+    while len(rows) < n:
+        c = (int(rng.integers(0, batches)),) + tuple(
+            int(v) for v in rng.integers(0, grid, 3))
+        if c not in seen:
+            seen.add(c)
+            rows.append(c)
+    rows.sort()
+    coords = np.zeros((cap, 4), np.int32)
+    coords[:n] = np.asarray(rows, np.int32)
+    return coords
+
+
+def test_device_plan_matches_host_plan(rng):
+    """build_unet_plan_device == build_unet_plan bit-for-bit: rulebooks,
+    down maps, Pallas windows and the use_window flags (the minimal-transfer
+    training path must be exactly the host-plan program)."""
+    from seggroup_tpu.sparse.device_plan import build_unet_plan_device
+    from seggroup_tpu.sparse.pallas_conv import TILE
+
+    cap = 8 * TILE  # big enough that level 0 gets a Pallas window plan
+    n = cap - 117
+    coords = _sorted_voxels(rng, cap, n, grid=40)
+    caps = (cap, cap // 2, cap // 4, cap // 8, cap // 8)
+
+    host = build_unet_plan(coords, n, list(caps))
+    dev = jax.tree_util.tree_map(
+        np.asarray,
+        build_unet_plan_device(jnp.asarray(coords), jnp.int32(n), caps))
+
+    for lvl, (h, d) in enumerate(zip(host["rulebooks"], dev["rulebooks"])):
+        np.testing.assert_array_equal(h, d, err_msg=f"rulebook level {lvl}")
+    for lvl, (h, d) in enumerate(zip(host["down"], dev["down"])):
+        assert int(h["num"]) == int(d["num"])
+        np.testing.assert_array_equal(h["coords"], d["coords"])
+        np.testing.assert_array_equal(h["delta"], d["delta"])
+        np.testing.assert_array_equal(h["out_row"], d["out_row"])
+    assert len(host["windows"]) == len(dev["windows"])
+    for lvl, (h, d) in enumerate(zip(host["windows"], dev["windows"])):
+        assert (h is None) == (d is None), f"windows level {lvl}"
+        if h is None:
+            continue
+        assert bool(h["use_window"]) == bool(d["use_window"])
+        np.testing.assert_array_equal(h["win_base"], d["win_base"])
+        np.testing.assert_array_equal(h["rb_win"], d["rb_win"])
+
+
+def test_device_plan_window_levels_structure(rng):
+    """window_levels gates which levels carry Pallas window plans (None
+    entries keep the pytree structure host/device identical)."""
+    from seggroup_tpu.sparse.device_plan import build_unet_plan_device
+    from seggroup_tpu.sparse.pallas_conv import TILE
+
+    cap = 8 * TILE
+    coords = _sorted_voxels(rng, cap, cap - 31, grid=40)
+    caps = (cap, cap // 2, cap // 4)
+    dev = build_unet_plan_device(jnp.asarray(coords), jnp.int32(cap - 31),
+                                 caps, window_levels=0)
+    assert all(w is None for w in dev["windows"])
+    host = build_unet_plan(coords, cap - 31, list(caps), window_levels=0)
+    assert all(w is None for w in host["windows"])

@@ -27,23 +27,29 @@ register("seggroup_gnn")(SegGroupGNN)
 def _register_lazy():
     from seggroup_tpu.models.kpconv import KPCNN as KPCNN_KP
     from seggroup_tpu.models.kpconv import KPFCNN
-    from seggroup_tpu.models.minkunet import (RESUNET_VARIANTS, VARIANTS,
-                                              make_minkunet, make_resunet)
+    from seggroup_tpu.models.minkunet import (HYPER_VARIANTS,
+                                              RESUNET_VARIANTS,
+                                              ST_RESUNET_VARIANTS,
+                                              ST_VARIANTS, VARIANTS,
+                                              make_hyper, make_minkunet,
+                                              make_resunet)
     from seggroup_tpu.models.pointgroup import PointGroup
 
     from seggroup_tpu.models.resnet_sparse import (
-        KPCNN, RESNET_VARIANTS, make_sparse_resnet,
+        KPCNN, RESNET_VARIANTS, ST_RESNET_VARIANTS, make_sparse_resnet,
     )
 
     register("pointgroup")(PointGroup)
     register("kpfcnn")(KPFCNN)
     register("kpcnn")(KPCNN)          # sparse-voxel-engine classifier
     register("kpcnn_kp")(KPCNN_KP)    # true KPConv-block classifier
-    for name in VARIANTS:
+    for name in list(VARIANTS) + list(ST_VARIANTS):
         _REGISTRY[name] = (lambda v: lambda **kw: make_minkunet(v, **kw))(name)
-    for name in RESUNET_VARIANTS:
+    for name in list(RESUNET_VARIANTS) + list(ST_RESUNET_VARIANTS):
         _REGISTRY[name] = (lambda v: lambda **kw: make_resunet(v, **kw))(name)
-    for name in RESNET_VARIANTS:
+    for name in HYPER_VARIANTS:
+        _REGISTRY[name] = (lambda v: lambda **kw: make_hyper(v, **kw))(name)
+    for name in list(RESNET_VARIANTS) + list(ST_RESNET_VARIANTS):
         _REGISTRY[name] = (lambda v: lambda **kw: make_sparse_resnet(v, **kw))(name)
 
     # CRF-wrapped backbones (reference wrapper_type=BilateralCRF,

@@ -32,12 +32,16 @@ class SparseResNet(nn.Module):
     init_dim: int = 64
     num_batches: int = 8
     bn_momentum: float = 0.02
+    # block kernel region; the hybrid default matches the reference
+    # STResNetBase (resnet.py:167-173) on 5-column spatio-temporal coords
+    # and is the plain 27-cube on 3-D coords
+    block_conv_type: str = "spatial_hypercube_temporal_hypercross"
     level_caps: Sequence[int] | None = None
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> jax.Array:
         caps = self.level_caps or [st.capacity >> (i + 1) for i in range(4)]
-        rb = build_subm_rulebook(st, 3)
+        rb = build_subm_rulebook(st, 3, conv_type="spatial_hypercube")
         h = SubMConv(self.init_dim, 3, name="conv1")(st, rb)
         h = SparseBatchNorm(self.bn_momentum, name="bn1")(h, st.valid, train)
         cur = st.with_feats(nn.relu(h))
@@ -50,7 +54,7 @@ class SparseResNet(nn.Module):
                 (8, cur.channels, cur.channels),
             )
             cur, _ = strided_conv_down(cur, w, caps[stage])
-            rb = build_subm_rulebook(cur, 3)
+            rb = build_subm_rulebook(cur, 3, conv_type=self.block_conv_type)
             for b in range(n_blocks):
                 cur = BasicBlock(p, self.bn_momentum,
                                  name=f"stage{stage}_block{b}")(cur, rb, train)
@@ -64,11 +68,21 @@ RESNET_VARIANTS = {
     "ResNet18": dict(layers=(2, 2, 2, 2)),
     "ResNet34": dict(layers=(3, 4, 6, 3)),
     "ResNet50": dict(layers=(3, 4, 6, 3), planes=(128, 256, 512, 1024)),
+    "ResNet101": dict(layers=(3, 4, 23, 3), planes=(128, 256, 512, 1024)),
 }
+
+# 4-D spatio-temporal classifiers (reference resnet.py:167-219): same
+# configs on (M, 5) coords; Tesseract = full 4-D hypercube block kernels
+ST_RESNET_VARIANTS = {}
+for _b in RESNET_VARIANTS:
+    ST_RESNET_VARIANTS[f"ST{_b}"] = dict(RESNET_VARIANTS[_b])
+    ST_RESNET_VARIANTS[f"STResTesseract{_b[3:]}"] = dict(
+        RESNET_VARIANTS[_b], block_conv_type="hypercube")
 
 
 def make_sparse_resnet(variant: str = "ResNet14", **kw) -> SparseResNet:
-    return SparseResNet(**RESNET_VARIANTS[variant], **kw)
+    cfg = RESNET_VARIANTS.get(variant) or ST_RESNET_VARIANTS[variant]
+    return SparseResNet(**cfg, **kw)
 
 
 class KPCNN(nn.Module):

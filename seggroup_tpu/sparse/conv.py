@@ -46,8 +46,57 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
     return g.astype(np.int32)
 
 
+def region_offsets(conv_type: str, kernel_size: int = 3,
+                   ndim: int = 3) -> np.ndarray:
+    """(K, ndim) kernel-region offsets for the reference's ConvType zoo
+    (minkowski/models/modules/common.py:27-60): 'hypercube' (full k^ndim),
+    'hypercross' (axis-aligned cross), 'spatial_hypercube' (k^3 spatial,
+    dt=0), 'spatial_hypercube_temporal_hypercross' (spatial cube at dt=0
+    plus the center at dt=+-1 — ME's HYBRID region for kernel [k,k,k,3]).
+
+    Offsets are sorted lexicographically; any negation-closed set then
+    satisfies offs[K-1-k] == -offs[k], which the subm custom VJP requires.
+    """
+    r = np.arange(kernel_size) - (kernel_size - 1) // 2
+    half_t = 1  # temporal kernel 3 (reference space_n_time_m(n, m) uses m=1
+    # for strides and the block convs fix temporal extent 3 via HYBRID)
+    if conv_type in ("hypercube", "spatio_temporal_hypercube"):
+        grids = np.meshgrid(*([r] * ndim), indexing="ij")
+        offs = np.stack(grids, -1).reshape(-1, ndim)
+    elif conv_type in ("hypercross", "spatio_temporal_hypercross"):
+        offs = [np.zeros(ndim, np.int64)]
+        for d in range(ndim):
+            for s in r[r != 0]:
+                o = np.zeros(ndim, np.int64)
+                o[d] = s
+                offs.append(o)
+        offs = np.stack(offs)
+    elif conv_type == "spatial_hypercube":
+        cube = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+        if ndim == 3:
+            offs = cube
+        else:
+            offs = np.concatenate([cube, np.zeros((len(cube), 1), np.int64)], 1)
+    elif conv_type == "spatial_hypercube_temporal_hypercross":
+        cube = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+        if ndim == 3:
+            offs = cube
+        else:
+            offs = np.concatenate([cube, np.zeros((len(cube), 1), np.int64)], 1)
+            t_arm = []
+            for dt in range(-half_t, half_t + 1):
+                if dt != 0:
+                    t_arm.append([0, 0, 0, dt])
+            offs = np.concatenate([offs, np.asarray(t_arm, np.int64)], 0)
+    else:
+        raise ValueError(f"unknown conv_type {conv_type!r}")
+    order = np.lexsort(offs.T[::-1])
+    return offs[order].astype(np.int32)
+
+
 def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
-                        assume_sorted: bool = False) -> jax.Array:
+                        assume_sorted: bool = False,
+                        conv_type: str = "spatial_hypercube") -> jax.Array:
     """(M, K) neighbor row index per kernel offset; == M where absent.
     Output sites == input sites (submanifold semantics).
 
@@ -60,10 +109,22 @@ def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
     assume_sorted: rows are already in lexicographic (batch,x,y,z) order
     with the valid prefix first (the host voxelizer's contract,
     data/voxel_dataset.py:39-42) — skips the device argsort entirely.
+
+    conv_type selects the kernel region (region_offsets). 5-column
+    spatio-temporal coords always take the generic offsets path (the k3
+    fast path's consecutive-z-run trick assumes lo == z).
     """
-    if kernel_size == 3:
+    ndim = st.coords.shape[1] - 1
+    if ndim == 3 and kernel_size == 3 and conv_type in (
+            "hypercube", "spatial_hypercube",
+            "spatial_hypercube_temporal_hypercross"):
         return _build_subm_rulebook_k3(st, assume_sorted)
-    return _build_subm_rulebook_generic(st, kernel_size)
+    if ndim == 3 and conv_type in (
+            "hypercube", "spatial_hypercube",
+            "spatial_hypercube_temporal_hypercross"):
+        return _build_subm_rulebook_generic(st, kernel_size)
+    return build_subm_rulebook_offsets(
+        st, region_offsets(conv_type, kernel_size, ndim))
 
 
 def _lower_bound(hi_sorted, lo_sorted, q_hi, q_lo):
@@ -153,13 +214,22 @@ def _build_subm_rulebook_k3(st: SparseTensor,
 
 
 def _build_subm_rulebook_generic(st: SparseTensor, kernel_size: int) -> jax.Array:
-    offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3)
+    return build_subm_rulebook_offsets(
+        st, kernel_offsets(kernel_size))
+
+
+def build_subm_rulebook_offsets(st: SparseTensor,
+                                offsets: np.ndarray) -> jax.Array:
+    """(M, K) rulebook for an explicit (K, ndim) offset list over (M, 1+ndim)
+    coords — the path for non-cube kernel regions and the 4-D spatio-temporal
+    models (reference ME RegionType.HYPERCROSS/HYBRID kernels)."""
+    offs = jnp.asarray(offsets)  # (K, ndim)
     order, hi_s, lo_s = sort_coords(st.coords, st.valid)
     m = st.capacity
 
     def per_offset(off):
-        q = st.coords.at[:, 1:4].add(off[None, :])
-        in_range = jnp.all(q[:, 1:4] >= 0, axis=1)  # negative coords never pack
+        q = st.coords.at[:, 1:].add(off[None, :])
+        in_range = jnp.all(q[:, 1:] >= 0, axis=1)  # negative coords never pack
         q_hi, q_lo = pack_keys(q)
         pos = lookup(hi_s, lo_s, q_hi, q_lo)  # sorted positions or M
         idx = jnp.where(pos < m, order[jnp.minimum(pos, m - 1)], m)
@@ -369,13 +439,17 @@ def downsample_coords(st: SparseTensor, cap_out: int):
     out_row (M,), delta (M,))."""
     m = st.capacity
     c = st.coords
-    half = jnp.concatenate([c[:, :1], c[:, 1:4] >> 1], axis=1)
+    # halve the spatial columns only; a 5th (temporal) column rides through
+    # unchanged — the reference's D=4 downsamples use stride [2,2,2,1]
+    # (res16unet.py space_n_time_m(2, 1))
+    half = jnp.concatenate([c[:, :1], c[:, 1:4] >> 1, c[:, 4:]], axis=1)
     delta = c[:, 1] % 2 * 4 + c[:, 2] % 2 * 2 + c[:, 3] % 2  # in {0..7}
 
     # compact unique halved coords (same lexsort trick as ops.voxelize)
     invalid = (~st.valid).astype(jnp.int32)
     order = jnp.lexsort(
-        (half[:, 3], half[:, 2], half[:, 1], half[:, 0], invalid)
+        tuple(half[:, j] for j in range(half.shape[1] - 1, -1, -1))
+        + (invalid,)
     ).astype(jnp.int32)
     s_half = half[order]
     s_ok = st.valid[order]

@@ -8,6 +8,10 @@ int32 key pairs — no 64-bit ints (x64 is disabled), no host round-trip.
 
 Key packing: hi = (batch << 28) | (x << 14) | y, lo = z. Valid for
 batch < 16 and x, y < 16384 — far beyond any ScanNet scene at 2 cm.
+5-column spatio-temporal coords (b, x, y, z, t) — the reference's D=4
+models (minkowski/models/res16unet.py:334-376 STRes16UNet*) — pack the
+frame index into the low key: lo = (z << 9) | t, valid for t < 512 and
+z < 2^22.
 """
 
 from __future__ import annotations
@@ -19,9 +23,12 @@ __all__ = ["pack_keys", "sort_coords", "lookup"]
 
 
 def pack_keys(coords: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """coords (M, 4) int32 -> (hi, lo) int32 keys."""
+    """coords (M, 4) or (M, 5) int32 -> (hi, lo) int32 keys. A 5th column
+    is a temporal frame index t < 512 packed into the low key."""
     b, x, y, z = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
     hi = (b << 28) | (x << 14) | y
+    if coords.shape[1] == 5:
+        return hi, (z << 9) | coords[:, 4]
     return hi, z
 
 

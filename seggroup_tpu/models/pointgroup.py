@@ -31,9 +31,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from seggroup_tpu.ops.cc import compact_labels, semantic_connected_components
+from seggroup_tpu.ops.cc import compact_labels
 from seggroup_tpu.ops.iou import proposal_instance_iou
-from seggroup_tpu.ops.knn import ball_query
+from seggroup_tpu.ops.pallas_cc import semantic_radius_cc
 from seggroup_tpu.ops.segment_ops import segment_max, segment_mean, segment_min
 from seggroup_tpu.ops.voxelize import voxelize
 from seggroup_tpu.sparse.conv import (
@@ -224,12 +224,12 @@ class PointGroup(nn.Module):
         obj = point_valid & (sem_pred > 1)
 
         def cluster(pts):
-            nbrs, _cnt, _ovf = ball_query(
-                pts, self.cluster_radius, batch_ids, obj,
-                max_neighbors=self.cluster_neighbors,
-            )
-            lab = semantic_connected_components(
-                nbrs, jnp.ones(nbrs.shape, bool), obj, sem_pred
+            # fused windowed ball-query + CC (ops/pallas_cc.py; the
+            # reference's ballquery + CPU BFS pair, bfs_cluster.cu:14-90 +
+            # bfs_cluster.cpp:27-112, with no neighbor cap at all)
+            lab = semantic_radius_cc(
+                pts, self.cluster_radius, batch_ids, obj, sem_pred,
+                max_neighbors_fallback=self.cluster_neighbors,
             )
             compact, num, sizes = compact_labels(lab, obj, p_src)
             keep = sizes >= self.cluster_npoint_thre  # (P,)

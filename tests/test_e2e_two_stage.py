@@ -149,3 +149,19 @@ def test_lenient_restore_partial_weights(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["a"]["w"]), src["a"]["w"])
     np.testing.assert_array_equal(np.asarray(out["b"]["w"]), np.zeros((5,)))
     np.testing.assert_array_equal(np.asarray(out["c"]["w"]), np.full((2,), 7.0))
+
+
+@pytest.mark.slow
+def test_demo_semantic_writes_colored_ply(workdir):
+    """Standalone inference demo (reference minkowski/demo/scannet.py):
+    synthetic cloud -> colored NYU40-palette prediction PLY aligned to the
+    input points."""
+    out = os.path.join(workdir, "demo_pred.ply")
+    log = run(["cli.demo_semantic", "--synthetic", "--variant",
+               "Res16UNet14A", "--capacity", "16384", "--out", out], workdir)
+    assert "wrote" in log
+    from seggroup_tpu.data.ply import read_ply
+
+    v = read_ply(out)["vertex"]
+    assert len(v) > 10000
+    assert {"x", "y", "z", "red", "green", "blue"} <= set(v.dtype.names)

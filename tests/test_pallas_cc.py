@@ -1,0 +1,142 @@
+"""Fused windowed radius-CC kernel (ops/pallas_cc.py) vs brute-force oracle.
+
+Runs in Pallas interpret mode on the CPU test mesh; the TPU path is the
+same program with interpret=False.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seggroup_tpu.ops.pallas_cc import _windowed_cc, semantic_radius_cc
+
+
+def oracle_labels(coords, radius, batch, valid, sem):
+    """Union-find over all in-radius same-batch same-sem pairs; labels =
+    min original index per component, invalid -> N."""
+    n = len(coords)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    idx = np.where(valid)[0]
+    for ai, i in enumerate(idx):
+        for j in idx[ai + 1:]:
+            if batch[i] != batch[j] or sem[i] != sem[j]:
+                continue
+            if np.sum((coords[i] - coords[j]) ** 2) <= radius * radius:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    lab = np.full(n, n, np.int64)
+    for i in idx:
+        lab[i] = find(i)
+    return lab
+
+
+def make_scene(rng, n_cap=2048, n=1500, blobs=12, batches=2, spread=4.0):
+    coords = np.zeros((n_cap, 3), np.float32)
+    batch = np.zeros(n_cap, np.int32)
+    sem = np.zeros(n_cap, np.int32)
+    centers = rng.uniform(-spread, spread, (blobs, 3))
+    bi = rng.integers(0, batches, blobs)
+    si = rng.integers(2, 8, blobs)
+    which = rng.integers(0, blobs, n)
+    coords[:n] = centers[which] + rng.normal(0, 0.05, (n, 3))
+    batch[:n] = bi[which]
+    sem[:n] = si[which]
+    valid = np.zeros(n_cap, bool)
+    valid[:n] = True
+    return coords, batch, sem, valid
+
+
+def same_partition(a, b, valid):
+    a, b = np.asarray(a), np.asarray(b)
+    va, vb = a[valid], b[valid]
+    # bijection between label values
+    return (len(np.unique(va)) == len(np.unique(vb))
+            == len(np.unique(np.stack([va, vb], 1), axis=0)))
+
+
+def test_windowed_cc_matches_oracle(rng):
+    coords, batch, sem, valid = make_scene(rng)
+    lab, use_window = _windowed_cc(
+        jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem))
+    assert bool(use_window)
+    lab = np.asarray(lab)
+    want = oracle_labels(coords, 0.12, batch, sem, valid)
+    np.testing.assert_array_equal(lab[valid], want[valid])  # canonical ==
+    assert (lab[~valid] == len(coords)).all()
+
+
+def test_windowed_cc_respects_batch_and_semantics(rng):
+    # identical positions, different batch/sem -> separate components
+    # (plus far-away filler so the grid passes the dims>=5 alias guard)
+    n_cap = 2048
+    coords = np.zeros((n_cap, 3), np.float32)
+    coords[:4] = [[0, 0, 0], [0.01, 0, 0], [0, 0.01, 0], [0.01, 0.01, 0]]
+    coords[4] = [2.0, 2.0, 2.0]
+    coords[5] = [-2.0, -2.0, -2.0]
+    batch = np.array([0, 0, 1, 1, 0, 1] + [0] * (n_cap - 6), np.int32)
+    sem = np.array([5, 5, 5, 6, 9, 9] + [0] * (n_cap - 6), np.int32)
+    valid = np.zeros(n_cap, bool)
+    valid[:6] = True
+    lab, use_window = _windowed_cc(
+        jnp.asarray(coords), jnp.float32(0.05), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem))
+    assert bool(use_window)
+    lab = np.asarray(lab)
+    assert lab[0] == lab[1] == 0          # same batch+sem, touching
+    assert lab[2] == 2 and lab[3] == 3    # batch 1 split by sem
+
+
+def test_public_wrapper_equals_fallback_partition(rng):
+    """semantic_radius_cc (windowed) and the XLA fallback agree when the
+    fallback's neighbor caps don't truncate."""
+    coords, batch, sem, valid = make_scene(rng, n=600, blobs=30)
+    args = (jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
+            jnp.asarray(valid), jnp.asarray(sem))
+    lab_fast = np.asarray(semantic_radius_cc(*args))
+    from seggroup_tpu.ops.pallas_cc import _canonicalize
+    from seggroup_tpu.ops.cc import semantic_connected_components
+    from seggroup_tpu.ops.knn import ball_query
+
+    nbrs, _, _ = ball_query(args[0], 0.12, args[2], args[3],
+                            max_neighbors=64)
+    lab_slow = semantic_connected_components(
+        nbrs, jnp.ones(nbrs.shape, bool), args[3], args[4])
+    lab_slow = np.asarray(_canonicalize(
+        jnp.where(args[3], lab_slow, len(coords)), len(coords)))
+    assert same_partition(lab_fast, lab_slow, valid)
+
+
+def test_window_overflow_falls_back(rng):
+    """A dense blob overflows a tiny window; the cond must take the exact
+    fallback and still produce the right partition."""
+    coords, batch, sem, valid = make_scene(rng, n=1800, blobs=2, spread=0.2)
+    lab, use_window = _windowed_cc(
+        jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem), window=32)
+    assert not bool(use_window)
+    out = np.asarray(semantic_radius_cc(
+        jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem), window=32,
+        max_neighbors_fallback=128))
+    want = oracle_labels(coords, 0.12, batch, sem, valid)
+    assert same_partition(out, want, valid)
+
+
+def test_non_tile_multiple_uses_fallback(rng):
+    coords, batch, sem, valid = make_scene(rng, n_cap=1000, n=700)
+    out = np.asarray(semantic_radius_cc(
+        jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem), max_neighbors_fallback=128))
+    want = oracle_labels(coords, 0.12, batch, sem, valid)
+    assert same_partition(out, want, valid)
+    assert (out[~valid] == 1000).all()

@@ -453,56 +453,87 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
 
 
 def main():
+    """Each section runs independently; a section that dies (e.g. a TPU
+    worker crash mid-PointGroup) is recorded as an error string instead of
+    taking the whole benchmark down. Riskiest sections run last so the
+    headline numbers are already in hand if the worker does crash."""
     from seggroup_tpu.utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
-    tpu_pps, tpu_dt = tpu_points_per_sec()            # default: bit-faithful
-    fast_pps, fast_dt = tpu_points_per_sec(sequential=False, fast_knn=True)
-    base_pps, base_dt = baseline_points_per_sec()
-    s2_device, s2_pipe = stage2_minkunet_s_per_iter()
-    s2_big_device, s2_big_pipe = stage2_minkunet_s_per_iter(capacity=2 ** 19,
-                                                           iters=6)
-    pg_device, pg_pipe = stage2_pointgroup_s_per_iter()
-    kp_step = stage2_kpconv_s_per_iter()
+
+    def attempt(name, fn):
+        try:
+            return fn()
+        except BaseException as e:  # noqa: BLE001 — worker crashes surface as odd types
+            print(f"bench section {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            return None
+
+    detail = {
+        "grouping_mode": "sequential (bit-faithful default)",
+        "fast_mode": "parallel grouping + approx top-k kNN "
+                     "(--parallel_grouping --fast_knn)",
+        "scene": {"points": N_POINTS, "segments": N_SLOTS, "edges": N_EDGES},
+    }
     ref_v100_s_per_iter = 1.5  # midpoint of the ~1-2 s/iter V100 figure
+
+    s1 = attempt("stage1", tpu_points_per_sec)       # default: bit-faithful
+    if s1:
+        detail["tpu_s_per_scene"] = round(s1[1], 3)
+    fast = attempt("stage1_fast", lambda: tpu_points_per_sec(
+        sequential=False, fast_knn=True))
+    if fast:
+        detail["tpu_s_per_scene_fast_mode"] = round(fast[1], 3)
+        detail["fast_mode_points_per_sec"] = round(fast[0], 1)
+    base = attempt("cpu_baseline", baseline_points_per_sec)
+    if base:
+        detail["cpu_reference_emulation_s_per_scene"] = round(base[1], 3)
+
+    mk = attempt("minkunet", stage2_minkunet_s_per_iter)
+    mk_big = attempt("minkunet_2^19", lambda: stage2_minkunet_s_per_iter(
+        capacity=2 ** 19, iters=6))
+    entry = {"config": "Res16UNet34C batch=8 voxel=2cm",
+             "reference_v100_s_per_iter": ref_v100_s_per_iter,
+             "reference_batch_budget":
+                 "train_limit_numpoints=1.2M (scripts/train_scannet.sh:34); "
+                 "2^19 voxels matches a realized batch"}
+    if mk:
+        entry["s_per_iter_pipelined"] = round(mk[1], 3)
+        entry["s_per_iter_device_step"] = round(mk[0], 3)
+    if mk_big:
+        entry["s_per_iter_pipelined_at_2^19"] = round(mk_big[1], 3)
+        entry["s_per_iter_device_step_at_2^19"] = round(mk_big[0], 3)
+        entry["speedup_vs_v100_end_to_end"] = round(
+            ref_v100_s_per_iter / mk_big[1], 2)
+    detail["stage2_minkunet_train"] = entry
+
+    kp = attempt("kpconv", stage2_kpconv_s_per_iter)
+    detail["stage2_kpconv_train"] = {
+        "config": "batch=10 2m spheres dl0=4cm pts=2^17 "
+                  "(reference training_Scannet.py:95-126)",
+        **({"s_per_iter": round(kp, 3)} if kp else {"error": "section failed"}),
+    }
+
+    # last: the largest program; a worker crash here must not cost the rest
+    pg = attempt("pointgroup", stage2_pointgroup_s_per_iter)
+    detail["stage2_pointgroup_train"] = {
+        "config": "batch=4 clustering+ScoreNet pts=2^19 vox=2^18 "
+                  "(reference run2 yaml batch 4)",
+        **({"s_per_iter_pipelined": round(pg[1], 3),
+            "s_per_iter_device_step": round(pg[0], 3)} if pg
+           else {"error": "section failed"}),
+    }
+
+    tpu_pps = s1[0] if s1 else 0.0
+    base_pps = base[0] if base else None
     print(
         json.dumps(
             {
                 "metric": "stage1_pseudolabel_points_per_sec_per_chip",
                 "value": round(tpu_pps, 1),
                 "unit": "points/sec/chip",
-                "vs_baseline": round(tpu_pps / base_pps, 2),
-                "detail": {
-                    "tpu_s_per_scene": round(tpu_dt, 3),
-                    "grouping_mode": "sequential (bit-faithful default)",
-                    "tpu_s_per_scene_fast_mode": round(fast_dt, 3),
-                    "fast_mode_points_per_sec": round(fast_pps, 1),
-                    "fast_mode": "parallel grouping + approx top-k kNN "
-                                 "(--parallel_grouping --fast_knn)",
-                    "cpu_reference_emulation_s_per_scene": round(base_dt, 3),
-                    "scene": {"points": N_POINTS, "segments": N_SLOTS,
-                              "edges": N_EDGES},
-                    "stage2_minkunet_train": {
-                        "config": "Res16UNet34C batch=8 voxel=2cm",
-                        "s_per_iter_pipelined": round(s2_pipe, 3),
-                        "s_per_iter_device_step": round(s2_device, 3),
-                        "s_per_iter_pipelined_at_2^19": round(s2_big_pipe, 3),
-                        "s_per_iter_device_step_at_2^19": round(
-                            s2_big_device, 3),
-                        "reference_v100_s_per_iter": ref_v100_s_per_iter,
-                        "reference_batch_budget": "train_limit_numpoints=1.2M (scripts/train_scannet.sh:34); 2^19 voxels matches a realized batch",
-                        "speedup_vs_v100_end_to_end": round(
-                            ref_v100_s_per_iter / s2_big_pipe, 2),
-                    },
-                    "stage2_pointgroup_train": {
-                        "config": "batch=4 clustering+ScoreNet pts=2^19 vox=2^18 (reference run2 yaml batch 4)",
-                        "s_per_iter_pipelined": round(pg_pipe, 3),
-                        "s_per_iter_device_step": round(pg_device, 3),
-                    },
-                    "stage2_kpconv_train": {
-                        "config": "batch=10 2m spheres dl0=4cm pts=2^17 (reference training_Scannet.py:95-126)",
-                        "s_per_iter": round(kp_step, 3),
-                    },
-                },
+                "vs_baseline": (round(tpu_pps / base_pps, 2)
+                                if base_pps else None),
+                "detail": detail,
             }
         )
     )

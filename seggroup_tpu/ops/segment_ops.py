@@ -114,7 +114,8 @@ def segment_argmax(
         is_max, row_idx.reshape((-1,) + (1,) * (data.ndim - 1)).astype(jnp.int32), big
     )
     arg = jax.ops.segment_min(idx_or_big, ids, num_segments=num_segments)
-    return jnp.where(arg == big, 0, arg)
+    # empty segments yield the op identity (INT_MAX), not `big` — catch both
+    return jnp.where(arg >= big, 0, arg)
 
 
 def csr_segment_reduce(

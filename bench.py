@@ -390,6 +390,10 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
             capacity // 8]
     model = make_minkunet("Res16UNet34C", out_channels=20, level_caps=caps)
 
+    from seggroup_tpu.sparse.device_plan import (build_unet_plan_device,
+                                                 pack_voxel_batch,
+                                                 unpack_voxel_batch)
+
     def make_batch(step):
         rng = np.random.default_rng(step)
         vb = make_voxel_batch(scenes, capacity, 0.02, rng=rng, augment=True)
@@ -407,8 +411,7 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
     opt = optax.sgd(1e-2, momentum=0.9)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, stats, opt_state, st, labels, plan):
+    def _step_body(params, stats, opt_state, st, labels, plan):
         def loss_fn(p):
             logits, mut = model.apply({"params": p, "batch_stats": stats}, st,
                                       train=True, mutable=["batch_stats"],
@@ -425,6 +428,8 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
 
+    train_step = jax.jit(_step_body)
+
     # compile + device-only steady state
     params, stats, opt_state, loss = train_step(
         params, stats, opt_state, st0, labels0, plan0)
@@ -436,15 +441,31 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
         _ = float(loss)
     device_s = (time.time() - t0) / 4
 
-    # pipelined end-to-end rate (host prefetch 2 workers, like the trainer)
-    prefetch = HostPrefetcher(lambda s: make_batch(s + 1), depth=3, workers=4)
+    # pipelined end-to-end rate: the trainer's default minimal-transfer path
+    # (compact ~7.5 MB wire batches, pyramid plan built on device inside the
+    # step — cli/stage2_train_minkunet.py --plan_mode device)
+    @jax.jit
+    def train_step_packed(params, stats, opt_state, c16, f16, l8, num):
+        st, labels = unpack_voxel_batch(c16, f16, l8, num)
+        plan = build_unet_plan_device(st.coords, st.num, tuple(caps))
+        return _step_body(params, stats, opt_state, st, labels, plan)
+
+    def make_packed(step):
+        rng = np.random.default_rng(step)
+        vb = make_voxel_batch(scenes, capacity, 0.02, rng=rng, augment=True)
+        return pack_voxel_batch(vb)
+
+    prefetch = HostPrefetcher(lambda s: make_packed(s + 1), depth=3, workers=4)
     try:
-        st, labels, plan = to_device(*next(prefetch))  # warm pipeline
+        packed = jax.device_put(next(prefetch))  # warm pipeline + compile
+        params, stats, opt_state, loss = train_step_packed(
+            params, stats, opt_state, *packed)
+        _ = float(loss)
         t0 = time.time()
         for _ in range(iters):
-            st, labels, plan = to_device(*next(prefetch))
-            params, stats, opt_state, loss = train_step(
-                params, stats, opt_state, st, labels, plan)
+            packed = jax.device_put(next(prefetch))
+            params, stats, opt_state, loss = train_step_packed(
+                params, stats, opt_state, *packed)
             _ = float(loss)
         pipe_s = (time.time() - t0) / iters
     finally:

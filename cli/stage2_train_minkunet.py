@@ -3,9 +3,12 @@ labels (CLI parity with reference minkowski/main.py + lib/train.py:29-176):
 iteration-based loop, SGD+PolyLR, CE with ignore label, periodic validation
 with best-checkpoint tracking (reference lib/train.py:100-155).
 
-TPU pipeline: host threads build voxel batches AND the C++ sparse-conv
-pyramid plans (sparse/plan.py) ahead of the device; the jitted train step is
-pure gather-GEMM compute.
+TPU pipeline: host threads build voxel batches ahead of the device. Default
+`--plan_mode device` ships only a ~7.5 MB compact batch and builds the
+sparse-conv pyramid plan on device inside the jitted step
+(sparse/device_plan.py, bit-equal to the C++ host plans); `--plan_mode host`
+ships the C++-built plans instead (sparse/plan.py — preferable only when the
+host link is wide and device time is the scarce resource).
 
     python -m cli.stage2_train_minkunet --synthetic 16 --max_iter 100
     python -m cli.stage2_train_minkunet --data_root dataset/scannet/prepared \
@@ -74,6 +77,12 @@ def main():
     p.add_argument("--num_classes", type=int, default=20)
     p.add_argument("--prefetch_workers", type=int, default=2)
     p.add_argument("--prefetch_depth", type=int, default=3)
+    p.add_argument("--plan_mode", choices=["device", "host"], default="device",
+                   help="device: ship ~7.5 MB compact batches and build the "
+                        "pyramid plan on device inside the train step "
+                        "(minimal-transfer path; sparse/device_plan.py). "
+                        "host: ship C++-built plans (~250 MB at 2^19 — fine "
+                        "over PCIe, dominant over a remote tunnel)")
     p.add_argument("--resume", action="store_true",
                    help="restore {params, batch_stats, opt_state} from the "
                         "latest checkpoint and continue the iteration counter "
@@ -122,8 +131,18 @@ def main():
     model = make_minkunet(args.model, out_channels=args.num_classes,
                           level_caps=caps)
 
+    # DP shards pre-built host plans across the mesh; the minimal-transfer
+    # device-plan path applies to the single-device trainer
+    n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
+    use_device_plans = args.plan_mode == "device" and n_dev == 1
+    if use_device_plans:
+        from seggroup_tpu.sparse.device_plan import (build_unet_plan_device,
+                                                     pack_voxel_batch,
+                                                     unpack_voxel_batch)
+
     def make_batch(step, idx_pool, augment):
-        """Thread-safe (per-step rng): batch + host-built pyramid plan."""
+        """Thread-safe (per-step rng): batch + host-built pyramid plan (host
+        mode) or the compact wire tuple (device-plan mode)."""
         rng = np.random.default_rng((args.seed, step))
         idx = rng.integers(0, len(idx_pool), size=args.batch_size)
         tuples = []
@@ -135,6 +154,8 @@ def main():
                 args.pseudo_root is not None))
         vb = make_voxel_batch(tuples, args.capacity, args.voxel_size,
                               rng=rng, augment=augment)
+        if use_device_plans:
+            return pack_voxel_batch(vb), None
         plan = build_unet_plan(vb.coords, int(vb.num), caps)
         return vb, plan
 
@@ -184,8 +205,7 @@ def main():
             io.cprint(f"resumed from iter {start_it} "
                       f"(lr continues at {schedule(start_it):.4g})")
 
-    @jax.jit
-    def train_step(params, stats, opt_state, st, labels, plan):
+    def _train_body(params, stats, opt_state, st, labels, plan):
         def loss_fn(p):
             logits, mut = model.apply({"params": p, "batch_stats": stats}, st,
                                       train=True, mutable=["batch_stats"],
@@ -206,8 +226,28 @@ def main():
             st.valid, labels, IGNORE_LABEL), args.num_classes)
         return params, new_stats, opt_state, loss, hist
 
+    train_step = jax.jit(_train_body)
+
+    @jax.jit
+    def train_step_packed(params, stats, opt_state, c16, f16, l8, num):
+        """Minimal-transfer step: unpack the compact wire tuple and build the
+        pyramid plan on device (bit-equal to the host C++ plans —
+        tests/test_sparse_plan.py)."""
+        st, labels = unpack_voxel_batch(c16, f16, l8, num)
+        plan = build_unet_plan_device(st.coords, st.num, tuple(caps))
+        return _train_body(params, stats, opt_state, st, labels, plan)
+
     @jax.jit
     def eval_step(params, stats, st, labels, plan):
+        logits = model.apply({"params": params, "batch_stats": stats}, st,
+                             train=False, plan=plan)
+        return confusion_matrix(jnp.argmax(logits, -1), jnp.where(
+            st.valid, labels, IGNORE_LABEL), args.num_classes)
+
+    @jax.jit
+    def eval_step_packed(params, stats, c16, f16, l8, num):
+        st, labels = unpack_voxel_batch(c16, f16, l8, num)
+        plan = build_unet_plan_device(st.coords, st.num, tuple(caps))
         logits = model.apply({"params": params, "batch_stats": stats}, st,
                              train=False, plan=plan)
         return confusion_matrix(jnp.argmax(logits, -1), jnp.where(
@@ -217,14 +257,17 @@ def main():
         hist = np.zeros((args.num_classes, args.num_classes), np.int64)
         for j, vi in enumerate(val_idx):
             vb, plan = make_batch(10_000_000 + j, [vi], False)
-            st, labels, plan = to_device(vb, plan)
-            hist += np.asarray(eval_step(params, stats, st, labels, plan))
+            if use_device_plans:
+                hist += np.asarray(eval_step_packed(
+                    params, stats, *jax.device_put(vb)))
+            else:
+                st, labels, plan = to_device(vb, plan)
+                hist += np.asarray(eval_step(params, stats, st, labels, plan))
         return miou_from_confusion(hist)[0]
 
     # data parallelism over a device mesh (--num_devices > 1): each device
     # gets its own batch_size-scene voxel batch, DP step pmeans grads
     # (reference trains this single-GPU; parallel/dp.py capability)
-    n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
     dp = None
     dp_mesh = None
     if n_dev > 1:
@@ -275,6 +318,10 @@ def main():
                     shard_batch(dp_mesh, lab_b),
                     shard_batch(dp_mesh, plan_b))
                 loss = loss / n_dev
+            elif use_device_plans:
+                packed, _ = next(prefetch)
+                params, stats, opt_state, loss, hist = train_step_packed(
+                    params, stats, opt_state, *jax.device_put(packed))
             else:
                 vb, plan = next(prefetch)
                 st, labels, plan = to_device(vb, plan)

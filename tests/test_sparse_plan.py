@@ -246,3 +246,61 @@ def test_device_plan_window_levels_structure(rng):
     assert all(w is None for w in dev["windows"])
     host = build_unet_plan(coords, cap - 31, list(caps), window_levels=0)
     assert all(w is None for w in host["windows"])
+
+
+def test_pack_unpack_roundtrip_and_packed_forward(rng):
+    """pack_voxel_batch -> unpack_voxel_batch roundtrips the batch (coords and
+    labels exactly, feats at f16 precision), and a forward pass with the
+    device-built plan from the unpacked tensors matches the host-plan path
+    (the minimal-transfer training pipeline)."""
+    from seggroup_tpu.data.voxel_dataset import VoxelBatch
+    from seggroup_tpu.models.minkunet import make_minkunet
+    from seggroup_tpu.sparse.device_plan import (build_unet_plan_device,
+                                                 pack_voxel_batch,
+                                                 unpack_voxel_batch)
+
+    cap = 256
+    n = 211
+    coords = np.zeros((cap, 4), np.int32)
+    rows = sorted({(int(b), int(x), int(y), int(z))
+                   for b, x, y, z in zip(rng.integers(0, 2, 500),
+                                         rng.integers(0, 9, 500),
+                                         rng.integers(0, 9, 500),
+                                         rng.integers(0, 9, 500))})[:n]
+    n = len(rows)
+    coords[:n] = np.asarray(rows, np.int32)
+    feats = np.zeros((cap, 3), np.float32)
+    feats[:n] = rng.normal(size=(n, 3)).astype(np.float32)
+    labels = np.full((cap,), 255, np.int32)
+    labels[:n] = rng.integers(0, 20, n)
+    valid = np.arange(cap) < n
+    vb = VoxelBatch(coords, feats, labels, valid, np.int32(n), [])
+
+    packed = pack_voxel_batch(vb)
+    st, lab = unpack_voxel_batch(*jax.tree.map(jnp.asarray, packed))
+    np.testing.assert_array_equal(np.asarray(st.coords), coords)
+    np.testing.assert_array_equal(np.asarray(lab), labels)
+    np.testing.assert_array_equal(np.asarray(st.valid), valid)
+    np.testing.assert_allclose(np.asarray(st.feats), feats,
+                               rtol=1e-3, atol=1e-3)
+
+    caps = (cap, cap // 2, cap // 4, cap // 8, cap // 8)
+    model = make_minkunet("Res16UNet14A", out_channels=20,
+                          level_caps=list(caps))
+    variables = model.init(jax.random.PRNGKey(0), st, train=False)
+
+    host_plan = build_unet_plan(coords, n, list(caps))
+    st_f32 = SparseTensor(jnp.asarray(coords), jnp.asarray(st.feats),
+                          jnp.asarray(valid), jnp.int32(n))
+    ref = model.apply(variables, st_f32, train=False,
+                      plan=jax.tree.map(jnp.asarray, host_plan))
+
+    @jax.jit
+    def packed_fwd(c16, f16, l8, num):
+        s, _ = unpack_voxel_batch(c16, f16, l8, num)
+        plan = build_unet_plan_device(s.coords, s.num, caps)
+        return model.apply(variables, s, train=False, plan=plan)
+
+    got = packed_fwd(*jax.tree.map(jnp.asarray, packed))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

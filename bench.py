@@ -461,6 +461,14 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
         params, stats, opt_state, loss = train_step_packed(
             params, stats, opt_state, *packed)
         _ = float(loss)
+        # device-only steady state of the packed program (includes the
+        # on-device plan build — the trainer's real per-step device cost)
+        t0 = time.time()
+        for _ in range(3):
+            params, stats, opt_state, loss = train_step_packed(
+                params, stats, opt_state, *packed)
+            _ = float(loss)
+        device_packed_s = (time.time() - t0) / 3
         t0 = time.time()
         for _ in range(iters):
             packed = jax.device_put(next(prefetch))
@@ -470,7 +478,7 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
         pipe_s = (time.time() - t0) / iters
     finally:
         prefetch.close()
-    return device_s, pipe_s
+    return device_s, pipe_s, device_packed_s
 
 
 def main():
@@ -481,12 +489,17 @@ def main():
     from seggroup_tpu.utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    errors = {}
+
     def attempt(name, fn):
         try:
             return fn()
+        except (KeyboardInterrupt, SystemExit):
+            raise
         except BaseException as e:  # noqa: BLE001 — worker crashes surface as odd types
             print(f"bench section {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
             return None
 
     detail = {
@@ -512,7 +525,11 @@ def main():
     mk = attempt("minkunet", stage2_minkunet_s_per_iter)
     mk_big = attempt("minkunet_2^19", lambda: stage2_minkunet_s_per_iter(
         capacity=2 ** 19, iters=6))
-    entry = {"config": "Res16UNet34C batch=8 voxel=2cm",
+    entry = {"config": "Res16UNet34C batch=8 voxel=2cm; device_step = "
+                       "host-plan program on a preloaded batch, pipelined = "
+                       "the trainer's default packed path (plan built on "
+                       "device inside the step, so it includes the on-device "
+                       "plan build)",
              "reference_v100_s_per_iter": ref_v100_s_per_iter,
              "reference_batch_budget":
                  "train_limit_numpoints=1.2M (scripts/train_scannet.sh:34); "
@@ -520,9 +537,11 @@ def main():
     if mk:
         entry["s_per_iter_pipelined"] = round(mk[1], 3)
         entry["s_per_iter_device_step"] = round(mk[0], 3)
+        entry["s_per_iter_device_step_packed"] = round(mk[2], 3)
     if mk_big:
         entry["s_per_iter_pipelined_at_2^19"] = round(mk_big[1], 3)
         entry["s_per_iter_device_step_at_2^19"] = round(mk_big[0], 3)
+        entry["s_per_iter_device_step_packed_at_2^19"] = round(mk_big[2], 3)
         entry["speedup_vs_v100_end_to_end"] = round(
             ref_v100_s_per_iter / mk_big[1], 2)
     detail["stage2_minkunet_train"] = entry
@@ -531,7 +550,8 @@ def main():
     detail["stage2_kpconv_train"] = {
         "config": "batch=10 2m spheres dl0=4cm pts=2^17 "
                   "(reference training_Scannet.py:95-126)",
-        **({"s_per_iter": round(kp, 3)} if kp else {"error": "section failed"}),
+        **({"s_per_iter": round(kp, 3)} if kp is not None
+           else {"error": "section failed"}),
     }
 
     # last: the largest program; a worker crash here must not cost the rest
@@ -546,6 +566,8 @@ def main():
 
     tpu_pps = s1[0] if s1 else 0.0
     base_pps = base[0] if base else None
+    if errors:
+        detail["errors"] = errors
     print(
         json.dumps(
             {

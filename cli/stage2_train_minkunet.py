@@ -135,6 +135,9 @@ def main():
     # device-plan path applies to the single-device trainer
     n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
     use_device_plans = args.plan_mode == "device" and n_dev == 1
+    if args.plan_mode == "device" and n_dev > 1:
+        io.cprint("note: --plan_mode device applies to the single-device "
+                  "trainer; DP ships host-built plans sharded over the mesh")
     if use_device_plans:
         from seggroup_tpu.sparse.device_plan import (build_unet_plan_device,
                                                      pack_voxel_batch,
@@ -237,21 +240,19 @@ def main():
         plan = build_unet_plan_device(st.coords, st.num, tuple(caps))
         return _train_body(params, stats, opt_state, st, labels, plan)
 
-    @jax.jit
-    def eval_step(params, stats, st, labels, plan):
+    def _eval_body(params, stats, st, labels, plan):
         logits = model.apply({"params": params, "batch_stats": stats}, st,
                              train=False, plan=plan)
         return confusion_matrix(jnp.argmax(logits, -1), jnp.where(
             st.valid, labels, IGNORE_LABEL), args.num_classes)
 
+    eval_step = jax.jit(_eval_body)
+
     @jax.jit
     def eval_step_packed(params, stats, c16, f16, l8, num):
         st, labels = unpack_voxel_batch(c16, f16, l8, num)
         plan = build_unet_plan_device(st.coords, st.num, tuple(caps))
-        logits = model.apply({"params": params, "batch_stats": stats}, st,
-                             train=False, plan=plan)
-        return confusion_matrix(jnp.argmax(logits, -1), jnp.where(
-            st.valid, labels, IGNORE_LABEL), args.num_classes)
+        return _eval_body(params, stats, st, labels, plan)
 
     def validate():
         hist = np.zeros((args.num_classes, args.num_classes), np.int64)

@@ -6,25 +6,26 @@ serialized update loop on TPU; at PointGroup's flat-membership scale (2^20
 rows -> a few hundred proposals, reference pointgroup/lib/pointgroup_ops/src/
 sec_mean/sec_mean.cu:12-86 and roipool.cu:12-57) that's the difference
 between milliseconds and seconds per op. Here every reduction is built from
-TPU-friendly primitives only — one sort, prefix scans, and boundary gathers:
+TPU-friendly primitives only — one stable sort, segmented pairwise scans
+(`lax.associative_scan` over (start-flag, value) pairs, which also keeps
+float error at O(log segment_size), better than sequential accumulation),
+and boundary gathers located by `searchsorted`. The per-segment result is
+read at each segment's last sorted row.
 
-  sum/mean:  sort rows by segment id, cumsum, subtract prefix sums at the
-             segment boundaries found by `searchsorted` (counts are exact —
-             they come from boundary differences, not float accumulation).
-  max/min:   segmented cumulative max via `lax.associative_scan` over
-             (start-flag, value, source-row) triples; the per-segment result
-             is read at each segment's last row. The returned *value* is
-             re-gathered from the input at the winning row index, so autodiff
-             routes the gradient through a (num_segments, C)-sized gather —
-             the same single-argmax backward as the reference roipool_bp
-             (roipool.cu:30-41) — never a row-scale scatter.
+max/min return the *value* re-gathered from the input at the winning row, so
+autodiff routes the gradient through a (num_segments, C)-sized gather — the
+same single-argmax backward as the reference roipool_bp (roipool.cu:30-41) —
+never a row-scale scatter. `segment_sum`/`segment_mean` carry custom VJPs
+whose backward is a plain gather (`g[ids]`), keeping the backward pass
+scatter-free as well.
 
-Gradients: `segment_sum`/`segment_mean` carry custom VJPs whose backward is a
-plain gather (`g[ids]`), keeping the backward pass scatter-free as well.
-
-Semantics match `segment_ops.py` exactly: ids outside [0, num_segments) are
-padding; empty segments yield 0 (sum/mean) or `fill_value` (max/min);
-`segment_argmax` returns the smallest row index among a segment's maxima.
+Semantics match `segment_ops.py` (ids outside [0, num_segments) are padding;
+empty segments yield 0 for sum/mean and `fill_value` for max/min;
+`segment_argmax` returns the smallest row index among a segment's maxima;
+arbitrary trailing data dims) with one deliberate difference: a non-empty
+segment whose true extreme equals the scatter engine's +/-inf (or integer
+min/max) sentinel returns that real value here, where the scatter engine
+misreports it as `fill_value` (sentinel collision).
 """
 
 from __future__ import annotations
@@ -55,20 +56,33 @@ def _plan(segment_ids: jax.Array, num_segments: int):
     return valid, order, sk, starts, ends
 
 
-def _as2d(data: jax.Array):
-    return (data[:, None], True) if data.ndim == 1 else (data, False)
+def _flat2d(data: jax.Array):
+    """(N, ...) -> ((N, C), trailing shape); C = prod of trailing dims."""
+    return data.reshape(data.shape[0], -1), data.shape[1:]
 
 
-def _sum_impl(data, valid, order, starts, ends):
-    d2, squeeze = _as2d(data)
+def _seg_flags(sk: jax.Array) -> jax.Array:
+    return jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+
+
+def _sum_impl(data, valid, order, sk, starts, ends):
+    d2, tail = _flat2d(data)
     acc = d2.dtype
     if acc in (jnp.bfloat16, jnp.float16):
         acc = jnp.float32
     sd = jnp.where(valid[order][:, None], d2[order].astype(acc), 0)
-    cs = jnp.cumsum(sd, axis=0)
-    cpad = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
-    out = (cpad[ends] - cpad[starts]).astype(d2.dtype)
-    return out[:, 0] if squeeze else out
+    fs = _seg_flags(sk)
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[:, None], vb, va + vb)
+
+    _, run = jax.lax.associative_scan(comb, (fs, sd), axis=0)
+    nonempty = ends > starts
+    last = jnp.maximum(ends - 1, 0)
+    out = jnp.where(nonempty[:, None], run[last], 0).astype(d2.dtype)
+    return out.reshape((ends.shape[0],) + tail)
 
 
 def _int_zero(x):
@@ -76,11 +90,23 @@ def _int_zero(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
+def _gather_g(g, segment_ids, num_segments, scale=None):
+    """Backward helper: route per-segment cotangents to rows via a gather."""
+    valid = (segment_ids >= 0) & (segment_ids < num_segments)
+    ids_c = jnp.where(valid, segment_ids, 0)
+    g2, tail = _flat2d(g)
+    gd = g2[ids_c]
+    if scale is not None:
+        gd = gd / scale[ids_c].astype(gd.dtype)[:, None]
+    gd = jnp.where(valid[:, None], gd, 0)
+    return gd.reshape((segment_ids.shape[0],) + tail)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def segment_sum(data: jax.Array, segment_ids: jax.Array,
                 num_segments: int) -> jax.Array:
-    valid, order, _, starts, ends = _plan(segment_ids, num_segments)
-    return _sum_impl(data, valid, order, starts, ends)
+    valid, order, sk, starts, ends = _plan(segment_ids, num_segments)
+    return _sum_impl(data, valid, order, sk, starts, ends)
 
 
 def _sum_fwd(data, segment_ids, num_segments):
@@ -89,11 +115,7 @@ def _sum_fwd(data, segment_ids, num_segments):
 
 def _sum_bwd(num_segments, res, g):
     (segment_ids,) = res
-    valid = (segment_ids >= 0) & (segment_ids < num_segments)
-    ids_c = jnp.where(valid, segment_ids, 0)
-    g2, squeeze = _as2d(g)
-    gd = jnp.where(valid[:, None], g2[ids_c], 0)
-    return ((gd[:, 0] if squeeze else gd), _int_zero(segment_ids))
+    return (_gather_g(g, segment_ids, num_segments), _int_zero(segment_ids))
 
 
 segment_sum.defvjp(_sum_fwd, _sum_bwd)
@@ -102,33 +124,29 @@ segment_sum.defvjp(_sum_fwd, _sum_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def segment_mean(data: jax.Array, segment_ids: jax.Array,
                  num_segments: int) -> jax.Array:
-    valid, order, _, starts, ends = _plan(segment_ids, num_segments)
+    out, _ = _mean_impl(data, segment_ids, num_segments)
+    return out
+
+
+def _mean_impl(data, segment_ids, num_segments):
+    valid, order, sk, starts, ends = _plan(segment_ids, num_segments)
     counts = jnp.maximum(ends - starts, 1)
-    s = _sum_impl(data, valid, order, starts, ends)
+    s = _sum_impl(data, valid, order, sk, starts, ends)
     c = counts.reshape(counts.shape + (1,) * (s.ndim - 1))
     if jnp.issubdtype(s.dtype, jnp.floating):
-        return s / c.astype(s.dtype)
-    return s / c  # int data: true-divide promotes, like jax.ops path
+        return s / c.astype(s.dtype), counts
+    return s / c, counts  # int data: true-divide promotes, like jax.ops path
 
 
 def _mean_fwd(data, segment_ids, num_segments):
-    valid, order, _, starts, ends = _plan(segment_ids, num_segments)
-    counts = jnp.maximum(ends - starts, 1)
-    s = _sum_impl(data, valid, order, starts, ends)
-    c = counts.reshape(counts.shape + (1,) * (s.ndim - 1))
-    out = (s / c.astype(s.dtype)
-           if jnp.issubdtype(s.dtype, jnp.floating) else s / c)
+    out, counts = _mean_impl(data, segment_ids, num_segments)
     return out, (segment_ids, counts)
 
 
 def _mean_bwd(num_segments, res, g):
     segment_ids, counts = res
-    valid = (segment_ids >= 0) & (segment_ids < num_segments)
-    ids_c = jnp.where(valid, segment_ids, 0)
-    g2, squeeze = _as2d(g)
-    gd = g2[ids_c] / counts[ids_c].astype(g2.dtype)[:, None]
-    gd = jnp.where(valid[:, None], gd, 0)
-    return ((gd[:, 0] if squeeze else gd), _int_zero(segment_ids))
+    return (_gather_g(g, segment_ids, num_segments, scale=counts),
+            _int_zero(segment_ids))
 
 
 segment_mean.defvjp(_mean_fwd, _mean_bwd)
@@ -136,13 +154,13 @@ segment_mean.defvjp(_mean_fwd, _mean_bwd)
 
 def _extreme(data, segment_ids, num_segments, fill_value, mode):
     valid, order, sk, starts, ends = _plan(segment_ids, num_segments)
-    d2, squeeze = _as2d(data)
+    d2, tail = _flat2d(data)
     c = d2.shape[1]
 
     sv = jax.lax.stop_gradient(d2)[order]
     # padding rows sort last and only ever combine among themselves (their
     # segment id `num_segments` is never queried), so no masking is needed
-    fs = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    fs = _seg_flags(sk)
     iv = jnp.broadcast_to(order[:, None], (order.shape[0], c))
 
     if mode == "max":
@@ -169,7 +187,8 @@ def _extreme(data, segment_ids, num_segments, fill_value, mode):
     if fill_value is None:
         fill_value = jnp.zeros((), dtype=d2.dtype)
     out = jnp.where(nonempty[:, None], vals, fill_value)
-    return (out[:, 0] if squeeze else out), arg, nonempty
+    s = ends.shape[0]
+    return out.reshape((s,) + tail), arg.reshape((s,) + tail), nonempty
 
 
 def segment_max(data, segment_ids, num_segments, fill_value=None):
@@ -184,4 +203,4 @@ def segment_min(data, segment_ids, num_segments, fill_value=None):
 
 def segment_argmax(data, segment_ids, num_segments):
     _, arg, _ = _extreme(data, segment_ids, num_segments, None, "max")
-    return arg.reshape((num_segments,) + data.shape[1:])
+    return arg

@@ -113,3 +113,26 @@ def test_jit_and_grad_under_jit(rng):
 
     v, g = jax.value_and_grad(f)(data)
     assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ndim3_and_precision(rng):
+    """3-D trailing dims follow the scatter engine's shapes, and segmented
+    pairwise summation stays accurate on long all-positive streams (where a
+    prefix-sum-difference formulation loses ~1% on late small segments)."""
+    s = 6
+    data = rng.normal(size=(64, 4, 3)).astype(np.float32)
+    ids = _ids(rng, 64, s)
+    np.testing.assert_allclose(
+        srt.segment_sum(jnp.array(data), jnp.array(ids), s),
+        scat.segment_sum(jnp.array(data), jnp.array(ids), s),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        srt.segment_argmax(jnp.array(data), jnp.array(ids), s),
+        scat.segment_argmax(jnp.array(data), jnp.array(ids), s))
+
+    n = 1 << 20
+    big = np.ones((n,), np.float32)
+    big_ids = np.zeros((n,), np.int32)
+    big_ids[-17:] = 1  # tiny segment at the very end of the sorted stream
+    out = np.asarray(srt.segment_sum(jnp.array(big), jnp.array(big_ids), 2))
+    np.testing.assert_allclose(out, [n - 17, 17.0], rtol=1e-6)

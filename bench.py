@@ -168,7 +168,8 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
     import optax
 
     from cli.stage2_pointgroup_common import (PGHostBatch, host_voxelize_plan,
-                                              make_pg_batch)
+                                              make_pg_batch, pack_pg_batch,
+                                              unpack_pg_batch)
     from seggroup_tpu.data.synthetic import make_synthetic_scene
     from seggroup_tpu.models.pointgroup import PointGroup, pointgroup_loss
     from seggroup_tpu.ops.voxelize import VoxelMap, voxel_gather_mean
@@ -234,9 +235,8 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, stats, opt_state, st, p2v, plan, coords, bids,
-                   valid, labels, inst, centroid, pointnum, key):
+    def _pg_step_body(params, stats, opt_state, st, p2v, plan, coords, bids,
+                      valid, labels, inst, centroid, pointnum, key):
         def loss_fn(p):
             out, mut = model.apply(
                 {"params": p, "batch_stats": stats}, st, p2v, coords, bids,
@@ -251,6 +251,8 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
+    train_step = jax.jit(_pg_step_body)
+
     key = jax.random.PRNGKey(1)
     params, stats, opt_state, loss = train_step(params, stats, opt_state,
                                                 *dev0, key)
@@ -262,14 +264,35 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
         _ = float(loss)
     device_s = (time.time() - t0) / 4
 
-    prefetch = HostPrefetcher(lambda s: make_batch(s + 1), depth=3, workers=2)
+    # pipelined end-to-end: the trainer's default minimal-transfer path
+    # (compact ~20 MB wire batches, 7-level plan rebuilt on device in-step)
+    @jax.jit
+    def train_step_packed(params, stats, opt_state, w, key):
+        (st, p2v, coords, bids, valid, labels, inst, centroid, pointnum,
+         plan) = unpack_pg_batch(w, voxel_cap, level_caps)
+        return _pg_step_body(params, stats, opt_state, st, p2v, plan, coords,
+                             bids, valid, labels, inst, centroid, pointnum,
+                             key)
+
+    def make_packed(step):
+        rng = np.random.default_rng(step)
+        hb = make_pg_batch(tuples, point_cap, instance_cap, rng=rng,
+                           augment=True)
+        vcoords, num, p2v, _ = host_voxelize_plan(hb, 0.02, voxel_cap,
+                                                  level_caps=None)
+        return pack_pg_batch(hb, vcoords, num, p2v)
+
+    prefetch = HostPrefetcher(lambda s: make_packed(s + 1), depth=3, workers=2)
     try:
-        dev = to_device(*next(prefetch))
+        w = jax.device_put(next(prefetch))
+        params, stats, opt_state, loss = train_step_packed(
+            params, stats, opt_state, w, key)
+        _ = float(loss)
         t0 = time.time()
         for _ in range(iters):
-            dev = to_device(*next(prefetch))
-            params, stats, opt_state, loss = train_step(
-                params, stats, opt_state, *dev, key)
+            w = jax.device_put(next(prefetch))
+            params, stats, opt_state, loss = train_step_packed(
+                params, stats, opt_state, w, key)
             _ = float(loss)
         pipe_s = (time.time() - t0) / iters
     finally:

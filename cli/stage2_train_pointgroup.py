@@ -20,7 +20,8 @@ import numpy as np
 
 from cli.stage1_common import should_stop, dump_config, SceneSource, add_common_args
 from cli.stage2_pointgroup_common import (host_voxelize_plan, make_pg_batch,
-                                          scene_instance_tuple)
+                                          pack_pg_batch, scene_instance_tuple,
+                                          unpack_pg_batch)
 from seggroup_tpu.utils.logging import IOStream
 
 
@@ -46,6 +47,11 @@ def main():
     p.add_argument("--save_freq", type=int, default=2000)
     p.add_argument("--m", type=int, default=16)
     p.add_argument("--prefetch_depth", type=int, default=3)
+    p.add_argument("--plan_mode", choices=["device", "host"], default="device",
+                   help="device: ship ~20 MB compact batches and rebuild the "
+                        "7-level pyramid plan on device inside the step "
+                        "(minimal-transfer path); host: ship the C++-built "
+                        "plans (~140 MB at 2^19)")
     p.add_argument("--resume", action="store_true",
                    help="restore {params, batch_stats, opt_state} from the "
                         "latest checkpoint and continue the step counter and "
@@ -83,6 +89,14 @@ def main():
     io.cprint(f"scenes: {len(train_idx)} train / {len(val_idx)} val")
     rng = np.random.default_rng(args.seed)
 
+    # DP shards pre-built host plans across the mesh; the minimal-transfer
+    # device-plan path applies to the single-device trainer
+    n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
+    use_device_plans = args.plan_mode == "device" and n_dev == 1
+    if args.plan_mode == "device" and n_dev > 1:
+        io.cprint("note: --plan_mode device applies to the single-device "
+                  "trainer; DP ships host-built plans sharded over the mesh")
+
     level_caps = [args.voxel_cap >> i for i in range(7)]
     model = PointGroup(classes=20, m=args.m, score_cap=args.voxel_cap // 8,
                        level_caps=level_caps)
@@ -105,6 +119,10 @@ def main():
                 scene, extras, args.pseudo_root, source.names[int(i)]))
         hb = make_pg_batch(tuples, args.point_cap, args.instance_cap,
                            rng=r, augment=augment)
+        if use_device_plans:
+            vcoords, num, p2v, _ = host_voxelize_plan(
+                hb, args.voxel_size, args.voxel_cap, level_caps=None)
+            return pack_pg_batch(hb, vcoords, num, p2v), None
         vox = host_voxelize_plan(hb, args.voxel_size, args.voxel_cap,
                                  level_caps)
         return hb, vox
@@ -175,34 +193,51 @@ def main():
             io.cprint(f"resumed from step {start_it} "
                       f"(lr continues at {float(schedule(start_it)):.4g})")
 
+    def _step_body(do_clustering, params, stats, opt_state, st, p2v, coords,
+                   batch_ids, valid, labels, inst, centroid, pointnum, key,
+                   plan):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": stats}, st, p2v, coords,
+                batch_ids, valid, do_clustering=do_clustering, train=True,
+                jitter_rng=key, mutable=["batch_stats"], plan=plan,
+            )
+            total, aux = pointgroup_loss(
+                out, labels, inst, centroid, pointnum, coords, valid,
+                num_instances_cap=args.instance_cap,
+                with_score=do_clustering,
+            )
+            return total, (aux, mut["batch_stats"])
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss, aux
+
     def make_step(do_clustering):
         @jax.jit
         def step(params, stats, opt_state, st, p2v, coords, batch_ids, valid,
                  labels, inst, centroid, pointnum, key, plan):
-            def loss_fn(p):
-                out, mut = model.apply(
-                    {"params": p, "batch_stats": stats}, st, p2v, coords,
-                    batch_ids, valid, do_clustering=do_clustering, train=True,
-                    jitter_rng=key, mutable=["batch_stats"], plan=plan,
-                )
-                total, aux = pointgroup_loss(
-                    out, labels, inst, centroid, pointnum, coords, valid,
-                    num_instances_cap=args.instance_cap,
-                    with_score=do_clustering,
-                )
-                return total, (aux, mut["batch_stats"])
-
-            (loss, (aux, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, new_stats, opt_state, loss, aux
+            return _step_body(do_clustering, params, stats, opt_state, st,
+                              p2v, coords, batch_ids, valid, labels, inst,
+                              centroid, pointnum, key, plan)
 
         return step
 
-    @jax.jit
-    def val_loss_step(params, stats, st, p2v, coords, batch_ids, valid,
-                      labels, inst, centroid, pointnum, plan):
+    def make_step_packed(do_clustering):
+        @jax.jit
+        def step(params, stats, opt_state, w, key):
+            (st, p2v, coords, batch_ids, valid, labels, inst, centroid,
+             pointnum, plan) = unpack_pg_batch(w, args.voxel_cap, level_caps)
+            return _step_body(do_clustering, params, stats, opt_state, st,
+                              p2v, coords, batch_ids, valid, labels, inst,
+                              centroid, pointnum, key, plan)
+
+        return step
+
+    def _val_body(params, stats, st, p2v, coords, batch_ids, valid, labels,
+                  inst, centroid, pointnum, plan):
         out = model.apply({"params": params, "batch_stats": stats}, st, p2v,
                           coords, batch_ids, valid, do_clustering=False,
                           train=False, plan=plan)
@@ -212,10 +247,23 @@ def main():
                                    with_score=False)
         return total
 
+    val_loss_step = jax.jit(_val_body)
+
+    @jax.jit
+    def val_loss_step_packed(params, stats, w):
+        (st, p2v, coords, batch_ids, valid, labels, inst, centroid,
+         pointnum, plan) = unpack_pg_batch(w, args.voxel_cap, level_caps)
+        return _val_body(params, stats, st, p2v, coords, batch_ids, valid,
+                         labels, inst, centroid, pointnum, plan)
+
     def validate():
         losses = []
         for j in range(max(1, len(val_idx) // args.batch_size)):
             hb, vox = sample_batch(val_idx, augment=False, use_rng=val_rng)
+            if use_device_plans:
+                losses.append(float(val_loss_step_packed(
+                    params, stats, jax.device_put(hb))))
+                continue
             st, p2v, plan = to_device(hb, vox)
             losses.append(float(val_loss_step(
                 params, stats, st, p2v, jnp.asarray(hb.coords),
@@ -225,10 +273,11 @@ def main():
                 jnp.asarray(hb.instance_pointnum), plan)))
         return float(np.mean(losses))
 
-    steps = {False: make_step(False), True: make_step(True)}
+    steps = ({False: make_step_packed(False), True: make_step_packed(True)}
+             if use_device_plans
+             else {False: make_step(False), True: make_step(True)})
     # data parallelism over a device mesh (--num_devices > 1): one voxelized
     # batch per device through parallel/dp.py (reference is single-GPU)
-    n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
     dp_steps = None
     if n_dev > 1:
         from seggroup_tpu.parallel.dp import (build_pointgroup_dp_step,
@@ -291,6 +340,10 @@ def main():
                     *(shard_batch(dp_mesh, x) for x in batched), sub)
                 loss = loss / n_dev
                 aux = {}
+            elif use_device_plans:
+                w, _ = next(prefetch)
+                params, stats, opt_state, loss, aux = steps[clustering](
+                    params, stats, opt_state, jax.device_put(w), sub)
             else:
                 hb, vox = next(prefetch)
                 st, p2v, plan = to_device(hb, vox)

@@ -4,13 +4,22 @@ TPU-native replacement for the reference's CSR segment kernels
 (`PG_OP.sec_mean/sec_min/sec_max`, reference pointgroup/lib/pointgroup_ops/src/
 sec_mean/sec_mean.cu:12-86, and `roipool_fp/bp`, roipool.cu:12-57) and for the
 per-cluster feature aggregation loops of stage 1 (reference
-seggroup/model.py:278-288). Instead of CSR offsets + one CUDA block per segment,
-we use flat `segment_ids` + XLA scatter reductions, which lower to efficient
-sorted-scatter on TPU. All ops take a `num_segments` static bound and treat
-ids outside [0, num_segments) as padding (dropped).
+seggroup/model.py:278-288). All ops take a `num_segments` static bound and
+treat ids outside [0, num_segments) as padding (dropped).
+
+Two interchangeable engines (same semantics, tested equal):
+  "scatter" — flat `segment_ids` + XLA scatter reductions; cheap to trace
+      (stage 1 calls these inside scan bodies at slot granularity).
+  "sorted"  — the scatter-free sort/scan/gather engine in
+      `segment_sorted.py`, for row counts where TPU's serialized unsorted
+      scatters dominate (PointGroup's 2^20-row flat-membership arrays).
+Select per-call with `method=...` or globally with `set_default_method` /
+the SEGGROUP_SEGMENT_METHOD env var.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +31,23 @@ __all__ = [
     "segment_min",
     "segment_argmax",
     "csr_segment_reduce",
+    "set_default_method",
 ]
+
+_DEFAULT_METHOD = os.environ.get("SEGGROUP_SEGMENT_METHOD", "scatter")
+
+
+def set_default_method(method: str) -> None:
+    """Globally select the reduction engine ("scatter" | "sorted")."""
+    global _DEFAULT_METHOD
+    if method not in ("scatter", "sorted"):
+        raise ValueError(method)
+    _DEFAULT_METHOD = method
+
+
+def _sorted():
+    from seggroup_tpu.ops import segment_sorted
+    return segment_sorted
 
 
 def _clean_ids(segment_ids: jax.Array, num_segments: int) -> tuple[jax.Array, jax.Array]:
@@ -31,8 +56,11 @@ def _clean_ids(segment_ids: jax.Array, num_segments: int) -> tuple[jax.Array, ja
     return jnp.where(valid, segment_ids, 0), valid
 
 
-def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
+                method: str | None = None) -> jax.Array:
     """Sum `data[i]` into row `segment_ids[i]`. Invalid ids contribute nothing."""
+    if (method or _DEFAULT_METHOD) == "sorted":
+        return _sorted().segment_sum(data, segment_ids, num_segments)
     ids, valid = _clean_ids(segment_ids, num_segments)
     mask = valid.reshape(valid.shape + (1,) * (data.ndim - valid.ndim))
     return jax.ops.segment_sum(
@@ -41,10 +69,13 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> j
 
 
 def segment_mean(
-    data: jax.Array, segment_ids: jax.Array, num_segments: int
+    data: jax.Array, segment_ids: jax.Array, num_segments: int,
+    method: str | None = None,
 ) -> jax.Array:
     """Per-segment mean; empty segments yield 0 (matches reference sec_mean /
     voxelize mean-mode behaviour of never dividing by zero on active rows)."""
+    if (method or _DEFAULT_METHOD) == "sorted":
+        return _sorted().segment_mean(data, segment_ids, num_segments)
     ids, valid = _clean_ids(segment_ids, num_segments)
     mask = valid.reshape(valid.shape + (1,) * (data.ndim - valid.ndim))
     total = jax.ops.segment_sum(
@@ -62,9 +93,13 @@ def segment_max(
     segment_ids: jax.Array,
     num_segments: int,
     fill_value=None,
+    method: str | None = None,
 ) -> jax.Array:
     """Per-segment max. Empty segments get `fill_value` (default: 0, matching the
     roipool semantics of only ever reading non-empty proposals)."""
+    if (method or _DEFAULT_METHOD) == "sorted":
+        return _sorted().segment_max(data, segment_ids, num_segments,
+                                     fill_value=fill_value)
     ids, valid = _clean_ids(segment_ids, num_segments)
     neg_inf = jnp.array(-jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
                         else jnp.iinfo(data.dtype).min, dtype=data.dtype)
@@ -82,7 +117,11 @@ def segment_min(
     segment_ids: jax.Array,
     num_segments: int,
     fill_value=None,
+    method: str | None = None,
 ) -> jax.Array:
+    if (method or _DEFAULT_METHOD) == "sorted":
+        return _sorted().segment_min(data, segment_ids, num_segments,
+                                     fill_value=fill_value)
     ids, valid = _clean_ids(segment_ids, num_segments)
     pos_inf = jnp.array(jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
                         else jnp.iinfo(data.dtype).max, dtype=data.dtype)
@@ -96,12 +135,16 @@ def segment_min(
 
 
 def segment_argmax(
-    data: jax.Array, segment_ids: jax.Array, num_segments: int
+    data: jax.Array, segment_ids: jax.Array, num_segments: int,
+    method: str | None = None,
 ) -> jax.Array:
     """Index (into `data`'s leading axis) of the per-segment max, per feature
     column. Replacement for the argmax side-buffer of the reference roipool
     backward (roipool.cu:30-41): with this, roipool's VJP is a plain gather."""
-    per_seg_max = segment_max(data, segment_ids, num_segments)  # (S, C)
+    if (method or _DEFAULT_METHOD) == "sorted":
+        return _sorted().segment_argmax(data, segment_ids, num_segments)
+    per_seg_max = segment_max(data, segment_ids, num_segments,
+                              method="scatter")  # (S, C)
     ids, valid = _clean_ids(segment_ids, num_segments)
     n = data.shape[0]
     row_idx = jnp.arange(n)

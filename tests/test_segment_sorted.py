@@ -136,3 +136,23 @@ def test_ndim3_and_precision(rng):
     big_ids[-17:] = 1  # tiny segment at the very end of the sorted stream
     out = np.asarray(srt.segment_sum(jnp.array(big), jnp.array(big_ids), 2))
     np.testing.assert_allclose(out, [n - 17, 17.0], rtol=1e-6)
+
+
+def test_facade_dispatch(rng):
+    """segment_ops(method=\"sorted\") routes to the sorted engine and agrees
+    with the scatter default."""
+    s = 8
+    data = rng.normal(size=(301, 6)).astype(np.float32)
+    ids = _ids(rng, 301, s)
+    for name in ("segment_sum", "segment_mean", "segment_max", "segment_min"):
+        a = getattr(scat, name)(jnp.array(data), jnp.array(ids), s,
+                                method="sorted")
+        b = getattr(scat, name)(jnp.array(data), jnp.array(ids), s)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    scat.set_default_method("sorted")
+    try:
+        a = scat.segment_argmax(jnp.array(data), jnp.array(ids), s)
+    finally:
+        scat.set_default_method("scatter")
+    np.testing.assert_array_equal(
+        a, scat.segment_argmax(jnp.array(data), jnp.array(ids), s))

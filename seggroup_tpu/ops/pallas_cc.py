@@ -203,17 +203,21 @@ def _prep(coords, radius, batch_ids, valid, semantics, tile, window):
 
 
 def _canonicalize(labels, n):
-    """Any per-component representative -> min ORIGINAL index member."""
-    rep = jnp.full((n + 1,), n, jnp.int32).at[labels].min(
-        jnp.arange(n, dtype=jnp.int32))
-    lab = rep[labels]
+    """Any per-component representative -> min ORIGINAL index member.
+
+    Scatter-free: a per-representative min over member indices is a sorted
+    segment-min (TPU serializes the colliding scatter-min this replaces)."""
+    from seggroup_tpu.ops.segment_sorted import segment_min
+    rep = segment_min(jnp.arange(n, dtype=jnp.int32), labels, n + 1,
+                      fill_value=jnp.int32(n))
+    lab = rep[jnp.minimum(labels, n)]
     return jnp.where(labels < n, lab, n)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "window", "max_sweeps", "jumps"))
 def _windowed_cc(coords, radius, batch_ids, valid, semantics,
-                 tile=TILE, window=WINDOW, max_sweeps=64, jumps=3):
+                 tile=TILE, window=WINDOW, max_sweeps=64, jumps=8):
     n = coords.shape[0]
     order, slab, win_base, offs, use_window = _prep(
         coords, radius, batch_ids, valid, semantics, tile, window)
@@ -237,10 +241,11 @@ def _windowed_cc(coords, radius, batch_ids, valid, semantics,
     lab_s, _, _ = jax.lax.while_loop(cond, body,
                                      (init, jnp.array(True), jnp.int32(0)))
     # sorted-domain rep -> original-domain member index, per original row
+    # (inverse permutation as an argsort + gather — no unsorted scatter)
     rep_orig = jnp.concatenate(
         [order, jnp.array([n], jnp.int32)])[jnp.minimum(lab_s, n)]
-    lab_o = jnp.full((n,), n, jnp.int32).at[order].set(
-        jnp.where(lab_s < n, rep_orig, n))
+    inv = jnp.argsort(order).astype(jnp.int32)
+    lab_o = jnp.where(lab_s < n, rep_orig, n)[inv]
     return _canonicalize(lab_o, n), use_window
 
 

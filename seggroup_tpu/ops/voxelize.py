@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from seggroup_tpu.ops.segment_ops import segment_mean, segment_min
+from seggroup_tpu.ops.segment_ops import segment_mean
 
 __all__ = ["VoxelMap", "voxelize", "voxel_gather_mean", "point_recover"]
 
@@ -65,11 +65,23 @@ def voxelize(
     p2v_sorted = jnp.where(
         s_ok & (compact_sorted < max_voxels), compact_sorted, max_voxels
     )
-    p2v = jnp.zeros((n,), jnp.int32).at[order].set(p2v_sorted)
+    # scatter-free inverse permutation + first-member gather: TPU serializes
+    # unsorted scatters, and XLA cannot see that `order` is a permutation —
+    # a second argsort (the inverse) plus gathers is strictly cheaper
+    inv = jnp.argsort(order).astype(jnp.int32)
+    p2v = p2v_sorted[inv]
 
-    vc = jnp.concatenate([batch_ids[:, None], int_coords], axis=1).astype(jnp.int32)
-    voxel_coords = segment_min(vc, p2v, max_voxels, fill_value=jnp.int32(0))
+    # p2v_sorted is nondecreasing (invalid/overflow rows sort last and map to
+    # max_voxels), so each voxel's members are one contiguous run; its coords
+    # are the run's first row
+    vc_sorted = jnp.concatenate([s_b[:, None], s_c], axis=1)
+    starts = jnp.searchsorted(
+        p2v_sorted, jnp.arange(max_voxels, dtype=jnp.int32), side="left"
+    )
     voxel_valid = jnp.arange(max_voxels) < num
+    voxel_coords = jnp.where(
+        voxel_valid[:, None], vc_sorted[jnp.minimum(starts, n - 1)], 0
+    ).astype(jnp.int32)
     return VoxelMap(voxel_coords, p2v.astype(jnp.int32), voxel_valid, num)
 
 

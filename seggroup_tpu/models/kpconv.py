@@ -240,7 +240,8 @@ def build_pyramid(
             ic = jnp.floor(cur_p / (2 * dl)).astype(jnp.int32)
             ic = ic - jnp.min(jnp.where(cur_v[:, None], ic, 2**30), axis=0)
             vm = voxelize(ic, cur_b, cur_v, cap)
-            nxt_p = segment_mean(cur_p, vm.point2voxel, cap)  # barycenters
+            nxt_p = segment_mean(cur_p, vm.point2voxel, cap,
+                                 method="sorted")  # barycenters
             nxt_b = vm.voxel_coords[:, 0]
             nxt_v = vm.voxel_valid
             pools, _, _ = ball_query_pair(
@@ -302,7 +303,8 @@ def calibrate_neighbor_caps(
                 ic = jnp.floor(cur_p / (2 * dl)).astype(jnp.int32)
                 ic = ic - jnp.min(jnp.where(cur_v[:, None], ic, 2**30), axis=0)
                 vm = voxelize(ic, cur_b, cur_v, cap)
-                cur_p = segment_mean(cur_p, vm.point2voxel, cap)
+                cur_p = segment_mean(cur_p, vm.point2voxel, cap,
+                                     method="sorted")
                 cur_b = vm.voxel_coords[:, 0]
                 cur_v = vm.voxel_valid
                 dl *= 2

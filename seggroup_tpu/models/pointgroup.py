@@ -223,14 +223,7 @@ class PointGroup(nn.Module):
         # exclude wall/floor (classes 0, 1; reference pointgroup.py:285)
         obj = point_valid & (sem_pred > 1)
 
-        def cluster(pts):
-            # fused windowed ball-query + CC (ops/pallas_cc.py; the
-            # reference's ballquery + CPU BFS pair, bfs_cluster.cu:14-90 +
-            # bfs_cluster.cpp:27-112, with no neighbor cap at all)
-            lab = semantic_radius_cc(
-                pts, self.cluster_radius, batch_ids, obj, sem_pred,
-                max_neighbors_fallback=self.cluster_neighbors,
-            )
+        def to_proposals(lab):
             compact, num, sizes = compact_labels(lab, obj, p_src)
             keep = sizes >= self.cluster_npoint_thre  # (P,)
             prop = jnp.where(
@@ -240,8 +233,28 @@ class PointGroup(nn.Module):
             pvalid = keep & (jnp.arange(p_src) < num)
             return prop.astype(jnp.int32), pvalid
 
-        prop_o, pv_o = cluster(jax.lax.stop_gradient(coords))
-        prop_s, pv_s = cluster(jax.lax.stop_gradient(coords + pt_offsets))
+        # fused windowed ball-query + CC (ops/pallas_cc.py; the reference's
+        # ballquery + CPU BFS pair, bfs_cluster.cu:14-90 +
+        # bfs_cluster.cpp:27-112, with no neighbor cap at all). BOTH
+        # clusterings (original + offset-shifted coords, reference
+        # pointgroup.py:292-302) run as ONE CC over a doubled point set with
+        # disambiguated batch ids — components cannot span the halves, so
+        # the partition is identical to two separate runs at half the
+        # sweep cost.
+        pts2 = jax.lax.stop_gradient(
+            jnp.concatenate([coords, coords + pt_offsets]))
+        lab2 = semantic_radius_cc(
+            pts2, self.cluster_radius,
+            jnp.concatenate([batch_ids * 2, batch_ids * 2 + 1]),
+            jnp.concatenate([obj, obj]),
+            jnp.concatenate([sem_pred, sem_pred]),
+            max_neighbors_fallback=self.cluster_neighbors,
+        )
+        # per-half labels: a first-half component's min combined index is its
+        # min index; a second-half one's is (min index + n)
+        prop_o, pv_o = to_proposals(lab2[:n])
+        prop_s, pv_s = to_proposals(
+            jnp.where(lab2[n:] < 2 * n, lab2[n:] - n, n))
         # combined id space: originals [0, P), shifted [P, 2P)
         prop_a = jnp.where(prop_o < p_src, prop_o, p_total)
         prop_b = jnp.where(prop_s < p_src, prop_s + p_src, p_total)
@@ -254,12 +267,13 @@ class PointGroup(nn.Module):
         flat_pt = jnp.tile(jnp.arange(n, dtype=jnp.int32), 2)
         fv = flat_prop < p_total
         fc = coords[flat_pt]
-        mean = segment_mean(fc, jnp.where(fv, flat_prop, -1), p_total)
+        mean = segment_mean(fc, jnp.where(fv, flat_prop, -1), p_total,
+                            method="sorted")
         centered = fc - mean[jnp.minimum(flat_prop, p_total - 1)]
         cmin = segment_min(centered, jnp.where(fv, flat_prop, -1), p_total,
-                           fill_value=jnp.float32(0))
+                           fill_value=jnp.float32(0), method="sorted")
         cmax = segment_max(centered, jnp.where(fv, flat_prop, -1), p_total,
-                           fill_value=jnp.float32(0))
+                           fill_value=jnp.float32(0), method="sorted")
         fullscale = self.score_fullscale
         pscale = 1.0 / jnp.maximum(
             jnp.max(cmax - cmin, axis=1) / fullscale, 1e-6
@@ -281,7 +295,7 @@ class PointGroup(nn.Module):
         flat_feats = point_feats[flat_pt]
         sv_feats = segment_mean(
             jnp.where(fv[:, None], flat_feats, 0.0), vmap_s.point2voxel,
-            self.score_cap,
+            self.score_cap, method="sorted",
         )
         st_score = SparseTensor(vmap_s.voxel_coords, sv_feats,
                                 vmap_s.voxel_valid, vmap_s.num_voxels)
@@ -297,7 +311,7 @@ class PointGroup(nn.Module):
         flat_score_feats = hs_pad[jnp.minimum(vmap_s.point2voxel, self.score_cap)]
         prop_feats = segment_max(
             jnp.where(fv[:, None], flat_score_feats, 0.0),
-            jnp.where(fv, flat_prop, -1), p_total,
+            jnp.where(fv, flat_prop, -1), p_total, method="sorted",
         )
         scores = nn.Dense(1, name="score_linear")(prop_feats)[:, 0]
         return PGOutput(semantic_scores, pt_offsets, scores,

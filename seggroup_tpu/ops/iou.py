@@ -38,9 +38,11 @@ def proposal_instance_iou(
     i_ok = (instance_ids >= 0) & (instance_ids < num_instances) & point_valid
     ones = jnp.ones(proposal_ids.shape, jnp.float32)
 
-    sizes_p = segment_sum(ones, jnp.where(p_ok, proposal_ids, -1), num_proposals)
+    sizes_p = segment_sum(ones, jnp.where(p_ok, proposal_ids, -1),
+                          num_proposals, method="sorted")
     if instance_sizes is None:
-        sizes_i = segment_sum(ones, jnp.where(i_ok, instance_ids, -1), num_instances)
+        sizes_i = segment_sum(ones, jnp.where(i_ok, instance_ids, -1),
+                              num_instances, method="sorted")
     else:
         sizes_i = instance_sizes.astype(jnp.float32)
 
@@ -48,7 +50,8 @@ def proposal_instance_iou(
     combined = jnp.where(
         both, proposal_ids * num_instances + instance_ids, -1
     )
-    inter = segment_sum(ones, combined, num_proposals * num_instances)
+    inter = segment_sum(ones, combined, num_proposals * num_instances,
+                        method="sorted")
     inter = inter.reshape(num_proposals, num_instances)
     union = sizes_p[:, None] + sizes_i[None, :] - inter
     return inter / jnp.maximum(union, 1.0)

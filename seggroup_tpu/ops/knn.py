@@ -205,9 +205,11 @@ def cluster_knn(
     knn_sorted = jax.lax.map(do_row_block, jnp.arange(n_row_blocks))
     knn_sorted = knn_sorted.reshape(N, k)
     # map sorted positions -> original ids, and rows back to original order
+    # (inverse permutation as argsort+gather: XLA cannot tell `order` is a
+    # permutation, so the scatter form serializes on TPU)
     knn_orig = order[knn_sorted]
-    out = jnp.zeros((N, k), dtype=jnp.int32).at[order].set(knn_orig)
-    return out
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return knn_orig[inv]
 
 
 # ---------------------------------------------------------------------------

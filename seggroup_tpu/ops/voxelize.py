@@ -88,7 +88,7 @@ def voxelize(
 def voxel_gather_mean(feats: jax.Array, vmap: VoxelMap) -> jax.Array:
     """Per-voxel mean of member point features (reference voxelize_fp mode 4)."""
     m = vmap.voxel_valid.shape[0]
-    return segment_mean(feats, vmap.point2voxel, m)
+    return segment_mean(feats, vmap.point2voxel, m, method="sorted")
 
 
 def point_recover(voxel_feats: jax.Array, vmap: VoxelMap) -> jax.Array:

@@ -140,3 +140,32 @@ def test_non_tile_multiple_uses_fallback(rng):
     want = oracle_labels(coords, 0.12, batch, sem, valid)
     assert same_partition(out, want, valid)
     assert (out[~valid] == 1000).all()
+
+
+def test_fused_dual_cc_matches_two_runs(rng):
+    """One CC over [coords; shifted] with disambiguated batch ids gives the
+    same per-half partitions as two separate runs (PointGroup's fused dual
+    clustering, models/pointgroup.py)."""
+    from seggroup_tpu.ops.pallas_cc import semantic_radius_cc
+
+    n = 1024
+    pts = jnp.asarray(rng.uniform(0, 4, (n, 3)).astype(np.float32))
+    shift = pts + jnp.asarray(rng.normal(0, 0.2, (n, 3)).astype(np.float32))
+    bids = jnp.asarray((rng.integers(0, 2, n)).astype(np.int32))
+    ok = jnp.asarray(rng.uniform(size=n) < 0.8)
+    sem = jnp.asarray(rng.integers(2, 5, n).astype(np.int32))
+    r = 0.12
+
+    la = np.asarray(semantic_radius_cc(pts, r, bids, ok, sem))
+    lb = np.asarray(semantic_radius_cc(shift, r, bids, ok, sem))
+
+    pts2 = jnp.concatenate([pts, shift])
+    lab2 = np.asarray(semantic_radius_cc(
+        pts2, r, jnp.concatenate([bids * 2, bids * 2 + 1]),
+        jnp.concatenate([ok, ok]), jnp.concatenate([sem, sem])))
+
+    np.testing.assert_array_equal(
+        np.where(la < n, la, -1), np.where(lab2[:n] < 2 * n, lab2[:n], -1))
+    np.testing.assert_array_equal(
+        np.where(lb < n, lb, -1),
+        np.where(lab2[n:] < 2 * n, lab2[n:] - n, -1))

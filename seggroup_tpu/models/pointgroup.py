@@ -249,6 +249,7 @@ class PointGroup(nn.Module):
             jnp.concatenate([obj, obj]),
             jnp.concatenate([sem_pred, sem_pred]),
             max_neighbors_fallback=self.cluster_neighbors,
+            fused_halves=True,
         )
         # per-half labels: a first-half component's min combined index is its
         # min index; a second-half one's is (min index + n)

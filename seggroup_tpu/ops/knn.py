@@ -28,6 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from seggroup_tpu.ops.segment_ops import invert_permutation
+
 __all__ = [
     "pairwise_sqdist",
     "knn_brute",
@@ -205,11 +207,8 @@ def cluster_knn(
     knn_sorted = jax.lax.map(do_row_block, jnp.arange(n_row_blocks))
     knn_sorted = knn_sorted.reshape(N, k)
     # map sorted positions -> original ids, and rows back to original order
-    # (inverse permutation as argsort+gather: XLA cannot tell `order` is a
-    # permutation, so the scatter form serializes on TPU)
     knn_orig = order[knn_sorted]
-    inv = jnp.argsort(order).astype(jnp.int32)
-    return knn_orig[inv]
+    return knn_orig[invert_permutation(order)]
 
 
 # ---------------------------------------------------------------------------

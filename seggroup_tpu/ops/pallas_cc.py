@@ -46,6 +46,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from seggroup_tpu.ops.segment_ops import invert_permutation
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -241,11 +243,9 @@ def _windowed_cc(coords, radius, batch_ids, valid, semantics,
     lab_s, _, _ = jax.lax.while_loop(cond, body,
                                      (init, jnp.array(True), jnp.int32(0)))
     # sorted-domain rep -> original-domain member index, per original row
-    # (inverse permutation as an argsort + gather — no unsorted scatter)
     rep_orig = jnp.concatenate(
         [order, jnp.array([n], jnp.int32)])[jnp.minimum(lab_s, n)]
-    inv = jnp.argsort(order).astype(jnp.int32)
-    lab_o = jnp.where(lab_s < n, rep_orig, n)[inv]
+    lab_o = jnp.where(lab_s < n, rep_orig, n)[invert_permutation(order)]
     return _canonicalize(lab_o, n), use_window
 
 
@@ -258,6 +258,7 @@ def semantic_radius_cc(
     max_neighbors_fallback: int = 32,
     tile: int = TILE,
     window: int = WINDOW,
+    fused_halves: bool = False,
 ) -> jax.Array:
     """Connected components of the radius graph restricted to equal
     `semantics`, batch-local, over `valid` points. Returns (N,) int32
@@ -267,20 +268,39 @@ def semantic_radius_cc(
     key-range overflow, tiny grids, or N not a multiple of 8*tile): the
     exact XLA ball_query + semantic_connected_components pair — same
     partition up to the per-cell candidate caps of the fallback's ball
-    query."""
+    query.
+
+    fused_halves: set when the input is two stacked half-problems with
+    disjoint batch-id spaces (PointGroup's fused dual clustering). The
+    windowed kernel handles that directly; the FALLBACK instead runs the
+    halves separately so ball_query's int32 (batch*span + cell) key keeps
+    the single-problem range — the doubled batch-id range could otherwise
+    wrap int32 on large scenes and silently merge scenes/halves."""
     from seggroup_tpu.ops.cc import semantic_connected_components
     from seggroup_tpu.ops.knn import ball_query
 
     n = coords.shape[0]
 
-    def fallback(_):
-        nbrs, _cnt, _ovf = ball_query(coords, radius, batch_ids, valid,
+    def one_fallback(c, b, v, s):
+        m = c.shape[0]
+        nbrs, _cnt, _ovf = ball_query(c, radius, b, v,
                                       max_neighbors=max_neighbors_fallback)
         lab = semantic_connected_components(
-            nbrs, jnp.ones(nbrs.shape, bool), valid, semantics)
-        return _canonicalize(jnp.where(valid, lab, n), n)
+            nbrs, jnp.ones(nbrs.shape, bool), v, s)
+        return _canonicalize(jnp.where(v, lab, m), m)
 
-    if n % (8 * tile) != 0:
+    def fallback(_):
+        if not fused_halves:
+            return one_fallback(coords, batch_ids, valid, semantics)
+        h = n // 2
+        la = one_fallback(coords[:h], batch_ids[:h], valid[:h],
+                          semantics[:h])
+        lb = one_fallback(coords[h:], batch_ids[h:], valid[h:],
+                          semantics[h:])
+        return jnp.concatenate([jnp.where(la < h, la, n),
+                                jnp.where(lb < h, lb + h, n)])
+
+    if n % (8 * tile) != 0 or (fused_halves and n % 2 != 0):
         return fallback(None)
 
     lab_win, use_window = _windowed_cc(coords, jnp.float32(radius),

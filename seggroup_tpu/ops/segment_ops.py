@@ -50,6 +50,15 @@ def _sorted():
     return segment_sorted
 
 
+def invert_permutation(order: jax.Array) -> jax.Array:
+    """Inverse of a permutation as an argsort (gather-only).
+
+    The scatter form `zeros.at[order].set(iota)` serializes on TPU because
+    XLA cannot see that `order` is a permutation; a second sort is strictly
+    cheaper at every scale we run."""
+    return jnp.argsort(order).astype(jnp.int32)
+
+
 def _clean_ids(segment_ids: jax.Array, num_segments: int) -> tuple[jax.Array, jax.Array]:
     """Return (ids clipped into range, validity mask). Out-of-range ids are padding."""
     valid = (segment_ids >= 0) & (segment_ids < num_segments)

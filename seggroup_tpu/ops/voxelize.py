@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from seggroup_tpu.ops.segment_ops import segment_mean
+from seggroup_tpu.ops.segment_ops import invert_permutation, segment_mean
 
 __all__ = ["VoxelMap", "voxelize", "voxel_gather_mean", "point_recover"]
 
@@ -65,11 +65,7 @@ def voxelize(
     p2v_sorted = jnp.where(
         s_ok & (compact_sorted < max_voxels), compact_sorted, max_voxels
     )
-    # scatter-free inverse permutation + first-member gather: TPU serializes
-    # unsorted scatters, and XLA cannot see that `order` is a permutation —
-    # a second argsort (the inverse) plus gathers is strictly cheaper
-    inv = jnp.argsort(order).astype(jnp.int32)
-    p2v = p2v_sorted[inv]
+    p2v = p2v_sorted[invert_permutation(order)]
 
     # p2v_sorted is nondecreasing (invalid/overflow rows sort last and map to
     # max_voxels), so each voxel's members are one contiguous run; its coords

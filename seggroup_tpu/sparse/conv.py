@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from seggroup_tpu.ops.segment_ops import segment_sum
+from seggroup_tpu.ops.segment_ops import invert_permutation, segment_sum
 from seggroup_tpu.sparse.hashing import lookup, pack_keys, sort_coords
 from seggroup_tpu.sparse.tensor import SparseTensor
 
@@ -160,9 +160,7 @@ def _build_subm_rulebook_k3(st: SparseTensor,
         lo_s = jnp.where(st.valid, lo, big_k)
     else:
         order, hi_s, lo_s = sort_coords(st.coords, st.valid)
-        # inverse permutation by argsort (gather-only; the scatter form
-        # serializes on TPU because XLA can't see `order` is a permutation)
-        rank = jnp.argsort(order).astype(jnp.int32)
+        rank = invert_permutation(order)
     order_pad = jnp.concatenate([order, jnp.full((1,), m, jnp.int32)])
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
     hi_pad = jnp.concatenate([hi_s, jnp.full((1,), big, jnp.int32)])
@@ -461,7 +459,7 @@ def downsample_coords(st: SparseTensor, cap_out: int):
     row_sorted = jnp.where(
         s_ok & (compact_sorted < cap_out), compact_sorted, cap_out
     )
-    out_row = row_sorted[jnp.argsort(order).astype(jnp.int32)]
+    out_row = row_sorted[invert_permutation(order)]
 
     coords_out = segment_sum(
         jnp.where(firsts[:, None], s_half, 0), jnp.where(firsts, row_sorted, -1),

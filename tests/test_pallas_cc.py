@@ -169,3 +169,31 @@ def test_fused_dual_cc_matches_two_runs(rng):
     np.testing.assert_array_equal(
         np.where(lb < n, lb, -1),
         np.where(lab2[n:] < 2 * n, lab2[n:] - n, -1))
+
+
+def test_fused_dual_cc_fallback_split(rng):
+    """When the fused dual array takes the XLA fallback (size not a multiple
+    of 8*tile), fused_halves splits it back into per-half problems with the
+    single-problem ball-query key range."""
+    from seggroup_tpu.ops.pallas_cc import semantic_radius_cc
+
+    n = 768  # 2n = 1536, not a multiple of 2048 -> fallback path
+    pts = jnp.asarray(rng.uniform(0, 4, (n, 3)).astype(np.float32))
+    shift = pts + jnp.asarray(rng.normal(0, 0.2, (n, 3)).astype(np.float32))
+    bids = jnp.asarray((rng.integers(0, 2, n)).astype(np.int32))
+    ok = jnp.asarray(rng.uniform(size=n) < 0.8)
+    sem = jnp.asarray(rng.integers(2, 5, n).astype(np.int32))
+    r = 0.12
+
+    la = np.asarray(semantic_radius_cc(pts, r, bids, ok, sem))
+    lb = np.asarray(semantic_radius_cc(shift, r, bids, ok, sem))
+    lab2 = np.asarray(semantic_radius_cc(
+        jnp.concatenate([pts, shift]), r,
+        jnp.concatenate([bids * 2, bids * 2 + 1]),
+        jnp.concatenate([ok, ok]), jnp.concatenate([sem, sem]),
+        fused_halves=True))
+    np.testing.assert_array_equal(
+        np.where(la < n, la, -1), np.where(lab2[:n] < 2 * n, lab2[:n], -1))
+    np.testing.assert_array_equal(
+        np.where(lb < n, lb, -1),
+        np.where(lab2[n:] < 2 * n, lab2[n:] - n, -1))

@@ -219,7 +219,7 @@ def _canonicalize(labels, n):
 @functools.partial(jax.jit,
                    static_argnames=("tile", "window", "max_sweeps", "jumps"))
 def _windowed_cc(coords, radius, batch_ids, valid, semantics,
-                 tile=TILE, window=WINDOW, max_sweeps=64, jumps=8):
+                 tile=TILE, window=WINDOW, max_sweeps=64, jumps=2):
     n = coords.shape[0]
     order, slab, win_base, offs, use_window = _prep(
         coords, radius, batch_ids, valid, semantics, tile, window)
@@ -232,7 +232,16 @@ def _windowed_cc(coords, radius, batch_ids, valid, semantics,
         new_f = _sweep(lab.astype(jnp.float32), slab, win_base, offs, r2,
                        tile=tile, window=window)
         new = jnp.minimum(lab, new_f.astype(jnp.int32))
-        for _ in range(jumps):  # pointer jumping: adopt representative's rep
+        # hook: every provisional component (rows sharing the OLD label)
+        # collectively adopts its members' best discovery this sweep —
+        # Shiloach-Vishkin-style hooking turns the O(graph diameter) sweep
+        # count into a near-logarithmic one (a discovery propagates to the
+        # whole component at once, not one edge-hop per sweep)
+        from seggroup_tpu.ops.segment_sorted import segment_min as _smin
+        grp = _smin(new, jnp.where(s_valid, lab, -1), n + 1,
+                    fill_value=jnp.int32(n))
+        new = jnp.minimum(new, grp[jnp.minimum(lab, n)])
+        for _ in range(jumps):  # pointer jumping flattens residual chains
             new = jnp.minimum(new, new[jnp.minimum(new, n - 1)])
         new = jnp.where(s_valid, new, jnp.int32(n))
         return new, jnp.any(new != lab), it + 1

@@ -80,9 +80,11 @@ def main():
     p.add_argument("--plan_mode", choices=["device", "host"], default="device",
                    help="device: ship ~7.5 MB compact batches and build the "
                         "pyramid plan on device inside the train step "
-                        "(minimal-transfer path; sparse/device_plan.py). "
-                        "host: ship C++-built plans (~250 MB at 2^19 — fine "
-                        "over PCIe, dominant over a remote tunnel)")
+                        "(minimal-transfer path; sparse/device_plan.py; "
+                        "under --num_devices the plan build runs SPMD-local "
+                        "in each shard). host: ship C++-built plans (~250 MB "
+                        "at 2^19 — fine over PCIe, dominant over a remote "
+                        "tunnel)")
     p.add_argument("--resume", action="store_true",
                    help="restore {params, batch_stats, opt_state} from the "
                         "latest checkpoint and continue the iteration counter "
@@ -131,13 +133,8 @@ def main():
     model = make_minkunet(args.model, out_channels=args.num_classes,
                           level_caps=caps)
 
-    # DP shards pre-built host plans across the mesh; the minimal-transfer
-    # device-plan path applies to the single-device trainer
     n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
-    use_device_plans = args.plan_mode == "device" and n_dev == 1
-    if args.plan_mode == "device" and n_dev > 1:
-        io.cprint("note: --plan_mode device applies to the single-device "
-                  "trainer; DP ships host-built plans sharded over the mesh")
+    use_device_plans = args.plan_mode == "device"
     if use_device_plans:
         from seggroup_tpu.sparse.device_plan import (build_unet_plan_device,
                                                      pack_voxel_batch,
@@ -273,8 +270,13 @@ def main():
     dp_mesh = None
     if n_dev > 1:
         dp_mesh = mesh = make_mesh(n_dev)
-        dp = build_minkunet_dp_step(model, opt, mesh,
-                                    num_classes=args.num_classes)
+        if use_device_plans:
+            from seggroup_tpu.parallel.dp import build_minkunet_dp_step_packed
+            dp = build_minkunet_dp_step_packed(
+                model, opt, mesh, caps, num_classes=args.num_classes)
+        else:
+            dp = build_minkunet_dp_step(model, opt, mesh,
+                                        num_classes=args.num_classes)
         params = replicate(mesh, params)
         stats = replicate(mesh, stats)
         opt_state = replicate(mesh, opt_state)
@@ -308,7 +310,14 @@ def main():
     it_window = start_it
     try:
         for it in range(start_it + 1, args.max_iter + 1):
-            if dp is not None:
+            if dp is not None and use_device_plans:
+                packs, _ = zip(*next(prefetch))
+                cols = [jnp.stack([p[i] for p in packs]) for i in range(4)]
+                params, stats, opt_state, loss, hist = dp(
+                    params, stats, opt_state,
+                    *(shard_batch(dp_mesh, x) for x in cols))
+                loss = loss / n_dev
+            elif dp is not None:
                 vbs, plans = next(prefetch)
                 devbatch = [to_device(v, pl) for v, pl in zip(vbs, plans)]
                 st_b, lab_b, plan_b = jax.tree.map(

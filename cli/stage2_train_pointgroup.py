@@ -89,13 +89,8 @@ def main():
     io.cprint(f"scenes: {len(train_idx)} train / {len(val_idx)} val")
     rng = np.random.default_rng(args.seed)
 
-    # DP shards pre-built host plans across the mesh; the minimal-transfer
-    # device-plan path applies to the single-device trainer
     n_dev = len(jax.devices()) if args.num_devices is None else args.num_devices
-    use_device_plans = args.plan_mode == "device" and n_dev == 1
-    if args.plan_mode == "device" and n_dev > 1:
-        io.cprint("note: --plan_mode device applies to the single-device "
-                  "trainer; DP ships host-built plans sharded over the mesh")
+    use_device_plans = args.plan_mode == "device"
 
     level_caps = [args.voxel_cap >> i for i in range(7)]
     model = PointGroup(classes=20, m=args.m, score_cap=args.voxel_cap // 8,
@@ -285,12 +280,22 @@ def main():
                                               shard_batch)
 
         dp_mesh = make_mesh(n_dev)
-        dp_steps = {
-            c: build_pointgroup_dp_step(model, opt, dp_mesh, pointgroup_loss,
-                                        do_clustering=c,
-                                        instance_cap=args.instance_cap)
-            for c in (False, True)
-        }
+        if use_device_plans:
+            from seggroup_tpu.parallel.dp import build_pointgroup_dp_step_packed
+            dp_steps = {
+                c: build_pointgroup_dp_step_packed(
+                    model, opt, dp_mesh, pointgroup_loss,
+                    voxel_cap=args.voxel_cap, level_caps=level_caps,
+                    do_clustering=c, instance_cap=args.instance_cap)
+                for c in (False, True)
+            }
+        else:
+            dp_steps = {
+                c: build_pointgroup_dp_step(model, opt, dp_mesh,
+                                            pointgroup_loss, do_clustering=c,
+                                            instance_cap=args.instance_cap)
+                for c in (False, True)
+            }
         params = replicate(dp_mesh, params)
         stats = replicate(dp_mesh, stats)
         opt_state = replicate(dp_mesh, opt_state)
@@ -324,7 +329,14 @@ def main():
         for it in range(start_it + 1, args.steps + 1):
             key, sub = jax.random.split(key)
             clustering = it > args.prepare_steps
-            if dp_steps is not None:
+            if dp_steps is not None and use_device_plans:
+                wires = [w for w, _ in next(prefetch)]
+                w_b = jax.tree.map(lambda *xs: jnp.stack(xs), *wires)
+                params, stats, opt_state, loss = dp_steps[clustering](
+                    params, stats, opt_state, shard_batch(dp_mesh, w_b), sub)
+                loss = loss / n_dev
+                aux = {}
+            elif dp_steps is not None:
                 cols = []
                 for hb, vox in next(prefetch):
                     st, p2v, plan = to_device(hb, vox)

@@ -318,3 +318,116 @@ def build_pointgroup_dp_step(
             check_vma=False,
         )
     )
+
+
+def build_minkunet_dp_step_packed(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    level_caps, num_classes: int = 20, ignore_label: int = 255,
+) -> Callable:
+    """Minimal-transfer MinkUNet DP step: each device receives only its
+    compact wire batch (int16 coords / f16 feats / u8 labels,
+    sparse/device_plan.pack_voxel_batch) and builds its own pyramid plan
+    INSIDE the shard — plan construction is SPMD-local (no collectives), so
+    the host link per device carries ~7.5 MB instead of ~250 MB of host
+    plans. Grad/stat pmean and metric psum as in build_minkunet_dp_step.
+
+    Call: step(params, stats, opt_state, c16, f16, l8, num)
+      -> (params, stats, opt_state, summed_loss, summed_confusion);
+    the four batch args are stacked per device (leading axis = mesh size)."""
+    from seggroup_tpu.eval.semantic import confusion_matrix
+    from seggroup_tpu.sparse.device_plan import (build_unet_plan_device,
+                                                 unpack_voxel_batch)
+
+    caps = tuple(level_caps)
+
+    def local_loss(params, stats, st, labels, plan):
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": stats}, st, train=True,
+            mutable=["batch_stats"], plan=plan)
+        ok = st.valid & (labels != ignore_label)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            lp, jnp.clip(labels, 0, num_classes - 1)[:, None], axis=1)[:, 0]
+        loss = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+        return loss, (mut["batch_stats"], logits)
+
+    def step(params, stats, opt_state, c16, f16, l8, num):
+        st, labels = unpack_voxel_batch(c16[0], f16[0], l8[0], num[0])
+        plan = build_unet_plan_device(st.coords, st.num, caps)
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, stats, st, labels, plan)
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        hist = confusion_matrix(
+            jnp.argmax(logits, -1),
+            jnp.where(st.valid, labels, ignore_label), num_classes)
+        hist = jax.lax.psum(hist, "data")
+        return params, new_stats, opt_state, jax.lax.psum(loss, "data"), hist
+
+    data = P("data")
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), data, data, data, data),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def build_pointgroup_dp_step_packed(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    loss_fn: Callable, voxel_cap: int, level_caps,
+    do_clustering: bool = False, instance_cap: int = 256,
+    window_levels: int = 3,
+) -> Callable:
+    """Minimal-transfer PointGroup DP step: per-device compact wire batches
+    (cli.stage2_pointgroup_common.pack_pg_batch) with the 7-level pyramid
+    plan rebuilt inside each shard (SPMD-local, no collectives) — ~20 MB on
+    the wire per device instead of ~140 MB with stacked host plans.
+
+    Call: step(params, stats, opt_state, wire_dict, key)
+      -> (params, stats, opt_state, summed_loss); every leaf of `wire_dict`
+    is stacked per device (leading axis = mesh size)."""
+    from seggroup_tpu.data.pg_wire import unpack_pg_batch
+
+    caps = tuple(level_caps)
+
+    def local_loss(params, stats, w, key):
+        (st, p2v, coords, batch_ids, valid, labels, inst, centroid,
+         pointnum, plan) = unpack_pg_batch(w, voxel_cap, caps,
+                                           window_levels=window_levels)
+        out, mut = model.apply(
+            {"params": params, "batch_stats": stats}, st, p2v, coords,
+            batch_ids, valid, do_clustering=do_clustering, train=True,
+            jitter_rng=key, mutable=["batch_stats"], plan=plan,
+        )
+        total, _aux = loss_fn(
+            out, labels, inst, centroid, pointnum, coords, valid,
+            num_instances_cap=instance_cap, with_score=do_clustering,
+        )
+        return total, mut["batch_stats"]
+
+    def step(params, stats, opt_state, w, key):
+        w = jax.tree.map(lambda x: x[0], w)
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        (loss, new_stats), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, stats, w, key)
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, jax.lax.psum(loss, "data")
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )

@@ -336,3 +336,69 @@ def test_pointgroup_dp_grad_equivalence():
                     jax.tree.leaves(jax.device_get(want))):
         np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_minkunet_packed_dp_matches_host_plan_dp():
+    """The minimal-transfer DP step (wire batches + in-shard device plans)
+    produces the same update as the host-plan DP step on the same batches
+    (up to the f16 feature quantization of the wire format)."""
+    import optax
+
+    from seggroup_tpu.data.voxel_dataset import make_voxel_batch
+    from seggroup_tpu.models.minkunet import make_minkunet
+    from seggroup_tpu.parallel.dp import (build_minkunet_dp_step,
+                                          build_minkunet_dp_step_packed)
+    from seggroup_tpu.sparse.device_plan import pack_voxel_batch
+    from seggroup_tpu.sparse.plan import build_unet_plan
+    from seggroup_tpu.sparse.tensor import SparseTensor
+
+    n_dev = 8
+    cap = 256
+    caps = [cap, cap // 2, cap // 4, cap // 8, cap // 8]
+    model = make_minkunet("Res16UNet14A", out_channels=20, level_caps=caps)
+    rng = np.random.default_rng(3)
+    sts, labs, plans, vbs = [], [], [], []
+    for d in range(n_dev):
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        cols = rng.uniform(0, 255, size=(300, 3)).astype(np.float32)
+        ls = rng.integers(0, 20, size=300).astype(np.int32)
+        vb = make_voxel_batch([(pts, cols, ls)], cap, 0.1, rng=rng)
+        # wire format ships f16 feats; feed the same f16-rounded feats to the
+        # host-plan step so the two paths see identical inputs
+        vb = vb._replace(feats=vb.feats.astype(np.float16).astype(np.float32))
+        vbs.append(vb)
+        sts.append(SparseTensor(jnp.asarray(vb.coords), jnp.asarray(vb.feats),
+                                jnp.asarray(vb.valid), jnp.asarray(vb.num)))
+        labs.append(jnp.asarray(vb.labels))
+        plans.append(jax.tree.map(
+            jnp.asarray, build_unet_plan(vb.coords, int(vb.num), caps)))
+
+    variables = model.init(jax.random.PRNGKey(0), sts[0], train=True,
+                           plan=plans[0])
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = optax.sgd(1e-1)
+    mesh = make_mesh(n_dev)
+
+    dp_host = build_minkunet_dp_step(model, opt, mesh)
+    st_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+    plan_b = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+    lab_b = jnp.stack(labs)
+    ph, _, _, loss_h, hist_h = dp_host(
+        replicate(mesh, params), replicate(mesh, stats),
+        replicate(mesh, opt.init(params)), shard_batch(mesh, st_b),
+        shard_batch(mesh, lab_b), shard_batch(mesh, plan_b))
+
+    dp_packed = build_minkunet_dp_step_packed(model, opt, mesh, caps)
+    packs = [pack_voxel_batch(vb) for vb in vbs]
+    cols_w = [jnp.stack([jnp.asarray(p[i]) for p in packs]) for i in range(4)]
+    pp, _, _, loss_p, hist_p = dp_packed(
+        replicate(mesh, params), replicate(mesh, stats),
+        replicate(mesh, opt.init(params)),
+        *(shard_batch(mesh, c) for c in cols_w))
+
+    np.testing.assert_allclose(float(loss_p), float(loss_h), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hist_p), np.asarray(hist_h))
+    for a, b in zip(jax.tree.leaves(pp), jax.tree.leaves(ph)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -115,6 +115,7 @@ def test_jit_and_grad_under_jit(rng):
     assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_ndim3_and_precision(rng):
     """3-D trailing dims follow the scatter engine's shapes, and segmented
     pairwise summation stays accurate on long all-positive streams (where a

@@ -59,6 +59,7 @@ def test_unet_plan_end_to_end_parity(rng):
     np.testing.assert_array_equal(out_plan_nw, out_dev)
 
 
+@pytest.mark.slow
 def test_pointgroup_plan_end_to_end_parity(rng):
     """PointGroup(plan=7-level host plan) == PointGroup(plan=None), bit-exact
     without windows (VERDICT round-1 item 2: the 7-level UBlock must consume

@@ -311,7 +311,7 @@ def main():
     try:
         for it in range(start_it + 1, args.max_iter + 1):
             if dp is not None and use_device_plans:
-                packs, _ = zip(*next(prefetch))
+                packs, _ = next(prefetch)  # (tuple of packed wires, Nones)
                 cols = [jnp.stack([p[i] for p in packs]) for i in range(4)]
                 params, stats, opt_state, loss, hist = dp(
                     params, stats, opt_state,

@@ -279,12 +279,14 @@ def semantic_radius_cc(
     partition up to the per-cell candidate caps of the fallback's ball
     query.
 
-    fused_halves: set when the input is two stacked half-problems with
-    disjoint batch-id spaces (PointGroup's fused dual clustering). The
-    windowed kernel handles that directly; the FALLBACK instead runs the
-    halves separately so ball_query's int32 (batch*span + cell) key keeps
-    the single-problem range — the doubled batch-id range could otherwise
-    wrap int32 on large scenes and silently merge scenes/halves."""
+    fused_halves: set when the input is two equal stacked half-problems
+    whose batch ids are even/odd-interleaved (first half 2b, second half
+    2b+1 — PointGroup's fused dual clustering; n must be even). The
+    windowed kernel handles the doubled id space directly; the FALLBACK
+    instead runs the halves separately with the ids renormalized back to b
+    (>> 1), so ball_query's int32 (batch*span + cell) key keeps the exact
+    single-problem range — the doubled range could otherwise wrap int32 on
+    large scenes and silently merge scenes/halves."""
     from seggroup_tpu.ops.cc import semantic_connected_components
     from seggroup_tpu.ops.knn import ball_query
 
@@ -298,18 +300,23 @@ def semantic_radius_cc(
             nbrs, jnp.ones(nbrs.shape, bool), v, s)
         return _canonicalize(jnp.where(v, lab, m), m)
 
+    if fused_halves:
+        assert n % 2 == 0, "fused_halves requires two equal stacked halves"
+
     def fallback(_):
         if not fused_halves:
             return one_fallback(coords, batch_ids, valid, semantics)
         h = n // 2
-        la = one_fallback(coords[:h], batch_ids[:h], valid[:h],
+        # renormalize 2b / 2b+1 -> b so each half's key range is the
+        # single-problem one (the whole point of splitting)
+        la = one_fallback(coords[:h], batch_ids[:h] >> 1, valid[:h],
                           semantics[:h])
-        lb = one_fallback(coords[h:], batch_ids[h:], valid[h:],
+        lb = one_fallback(coords[h:], batch_ids[h:] >> 1, valid[h:],
                           semantics[h:])
         return jnp.concatenate([jnp.where(la < h, la, n),
                                 jnp.where(lb < h, lb + h, n)])
 
-    if n % (8 * tile) != 0 or (fused_halves and n % 2 != 0):
+    if n % (8 * tile) != 0:
         return fallback(None)
 
     lab_win, use_window = _windowed_cc(coords, jnp.float32(radius),

@@ -125,18 +125,10 @@ def build_stage1_train_step(
     )
 
 
-def build_minkunet_dp_step(
-    model, optimizer: optax.GradientTransformation, mesh: Mesh,
-    num_classes: int = 20, ignore_label: int = 255,
-) -> Callable:
-    """Stage-2 data-parallel train step: each device holds its own voxel
-    batch shard (a full SparseTensor + labels + host-built pyramid plan with
-    leading axis = mesh size), computes local grads, pmeans them. The
-    reference trains its backbones single-GPU (minkowski/README_zh.md:56) —
-    scaling them over the mesh is a capability the reference lacks.
-
-    Call: step(params, stats, opt_state, st_batch, labels_batch, plan_batch)
-      -> (params, stats, opt_state, summed_loss, summed_confusion)."""
+def _minkunet_dp_core(model, optimizer, num_classes, ignore_label):
+    """Shared local-loss + pmean/psum update for the MinkUNet DP steps (the
+    host-plan and packed builders differ only in how the shard's
+    (st, labels, plan) triple is obtained)."""
     from seggroup_tpu.eval.semantic import confusion_matrix
 
     def local_loss(params, stats, st, labels, plan):
@@ -150,8 +142,7 @@ def build_minkunet_dp_step(
         loss = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
         return loss, (mut["batch_stats"], logits)
 
-    def step(params, stats, opt_state, st, labels, plan):
-        st, labels, plan = jax.tree.map(lambda x: x[0], (st, labels, plan))
+    def update(params, stats, opt_state, st, labels, plan):
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, stats, st, labels, plan)
         grads = jax.lax.pmean(grads, "data")
@@ -163,6 +154,27 @@ def build_minkunet_dp_step(
             jnp.where(st.valid, labels, ignore_label), num_classes)
         hist = jax.lax.psum(hist, "data")
         return params, new_stats, opt_state, jax.lax.psum(loss, "data"), hist
+
+    return update
+
+
+def build_minkunet_dp_step(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    num_classes: int = 20, ignore_label: int = 255,
+) -> Callable:
+    """Stage-2 data-parallel train step: each device holds its own voxel
+    batch shard (a full SparseTensor + labels + host-built pyramid plan with
+    leading axis = mesh size), computes local grads, pmeans them. The
+    reference trains its backbones single-GPU (minkowski/README_zh.md:56) —
+    scaling them over the mesh is a capability the reference lacks.
+
+    Call: step(params, stats, opt_state, st_batch, labels_batch, plan_batch)
+      -> (params, stats, opt_state, summed_loss, summed_confusion)."""
+    update = _minkunet_dp_core(model, optimizer, num_classes, ignore_label)
+
+    def step(params, stats, opt_state, st, labels, plan):
+        st, labels, plan = jax.tree.map(lambda x: x[0], (st, labels, plan))
+        return update(params, stats, opt_state, st, labels, plan)
 
     return jax.jit(
         shard_map(
@@ -334,37 +346,16 @@ def build_minkunet_dp_step_packed(
     Call: step(params, stats, opt_state, c16, f16, l8, num)
       -> (params, stats, opt_state, summed_loss, summed_confusion);
     the four batch args are stacked per device (leading axis = mesh size)."""
-    from seggroup_tpu.eval.semantic import confusion_matrix
     from seggroup_tpu.sparse.device_plan import (build_unet_plan_device,
                                                  unpack_voxel_batch)
 
     caps = tuple(level_caps)
-
-    def local_loss(params, stats, st, labels, plan):
-        logits, mut = model.apply(
-            {"params": params, "batch_stats": stats}, st, train=True,
-            mutable=["batch_stats"], plan=plan)
-        ok = st.valid & (labels != ignore_label)
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(
-            lp, jnp.clip(labels, 0, num_classes - 1)[:, None], axis=1)[:, 0]
-        loss = jnp.sum(jnp.where(ok, nll, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
-        return loss, (mut["batch_stats"], logits)
+    update = _minkunet_dp_core(model, optimizer, num_classes, ignore_label)
 
     def step(params, stats, opt_state, c16, f16, l8, num):
         st, labels = unpack_voxel_batch(c16[0], f16[0], l8[0], num[0])
         plan = build_unet_plan_device(st.coords, st.num, caps)
-        (loss, (new_stats, logits)), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, stats, st, labels, plan)
-        grads = jax.lax.pmean(grads, "data")
-        new_stats = jax.lax.pmean(new_stats, "data")
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        hist = confusion_matrix(
-            jnp.argmax(logits, -1),
-            jnp.where(st.valid, labels, ignore_label), num_classes)
-        hist = jax.lax.psum(hist, "data")
-        return params, new_stats, opt_state, jax.lax.psum(loss, "data"), hist
+        return update(params, stats, opt_state, st, labels, plan)
 
     data = P("data")
     return jax.jit(

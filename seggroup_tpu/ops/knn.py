@@ -111,8 +111,42 @@ def masked_knn(points: jax.Array, valid: jax.Array, k: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _exact_topk_neg(d: jax.Array, k: int, chunk: int | None) -> tuple[jax.Array, jax.Array]:
+    """top_k(-d, k) with identical results to the flat call (values AND
+    tie-breaking), optionally via a hierarchical two-level reduction.
+
+    With `chunk`, the (R, W) matrix is split into W/chunk column chunks;
+    each chunk's top-k is taken, then the final top-k over the merged
+    (R, n_chunks*k) candidates. Exact: every global top-k element is a
+    top-k element of its own chunk (fewer than k elements precede it
+    globally, so fewer precede it in-chunk). Tie-breaking matches the flat
+    call: lax.top_k orders equal values by ascending index, chunks partition
+    the index space in ascending order, and within a chunk equal values get
+    candidate positions in ascending index order — so 'ascending candidate
+    position' == 'ascending original index' among equal values.
+
+    Measured on v5e (scripts/bench_topk.py): at W=9216/k=20 the flat top_k
+    is 3.78 ms/1024-row block and the best two-level split only 3.63 ms —
+    XLA's top_k is near-flat in W here, so the default stays None (flat);
+    the knob is kept for wider windows where the split may pay."""
+    if chunk is None or d.shape[-1] <= chunk:
+        return jax.lax.top_k(-d, k)
+    r, w = d.shape
+    n_chunks = -(-w // chunk)
+    if w % chunk:
+        pad = n_chunks * chunk - w
+        d = jnp.concatenate([d, jnp.full((r, pad), jnp.float32(3e38))], axis=1)
+    dc = d.reshape(r, n_chunks, chunk)
+    negc, idxc = jax.lax.top_k(-dc, k)  # (r, n_chunks, k)
+    base = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+    cand_idx = (idxc.astype(jnp.int32) + base).reshape(r, n_chunks * k)
+    cand_neg = negc.reshape(r, n_chunks * k)
+    neg, sel = jax.lax.top_k(cand_neg, k)
+    return neg, jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k", "row_block", "col_block", "window",
-                                   "approx"))
+                                   "approx", "topk_chunk"))
 def cluster_knn(
     points: jax.Array,
     cluster_ids: jax.Array,
@@ -122,6 +156,7 @@ def cluster_knn(
     window: int = 16384,
     approx: bool = False,
     valid: jax.Array | None = None,
+    topk_chunk: int | None = None,
 ) -> jax.Array:
     """Per-point kNN restricted to points sharing `cluster_ids` (self included).
 
@@ -197,7 +232,9 @@ def cluster_knn(
             # when reference parity matters
             neg_d, bi = jax.lax.approx_max_k(-d, k, recall_target=0.95)
         else:
-            neg_d, bi = jax.lax.top_k(-d, k)
+            # exact, hierarchical (identical values AND tie-breaks to the
+            # flat lax.top_k — see _exact_topk_neg)
+            neg_d, bi = _exact_topk_neg(d, k, topk_chunk)
         best_i = (bi + w0).astype(jnp.int32)
         # rows with < k same-cluster candidates: fall back to self
         self_sorted = (r0 + jnp.arange(row_block, dtype=jnp.int32))[:, None]

@@ -148,6 +148,36 @@ def _lower_bound(hi_sorted, lo_sorted, q_hi, q_lo):
     return lo_b
 
 
+def _k3_cols_joined(st: SparseTensor, hi_s, lo_s, tile: int):
+    """(27, M) rulebook columns for the assume_sorted layout via the windowed
+    sorted-join (sparse/merge_join.py). Returns (cols, ok): when ok is False
+    (a tile's key window overflowed — adversarial density skew) the caller
+    must use the binary-search path instead."""
+    from seggroup_tpu.sparse.merge_join import windowed_join3
+
+    m = st.capacity
+    big_k = jnp.int32(jnp.iinfo(jnp.int32).max)
+    dxy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    # per-group queries from the SORTED keys: (hi + c) preserves order; pad
+    # rows pin to (BIG, BIG-4) so each group's query stream stays sorted and
+    # q_lo + 3 cannot overflow
+    q_hi = jnp.stack([jnp.where(st.valid, hi_s + ((dx << 14) + dy), big_k)
+                      for dx, dy in dxy])            # (9, M)
+    q_lo = jnp.broadcast_to(
+        jnp.where(st.valid, lo_s - 1, big_k - 4)[None, :], (9, m))
+    pm1, p0, pp1, ok = windowed_join3(
+        hi_s, lo_s, q_hi.reshape(-1), q_lo.reshape(-1), tile=tile)
+    pm1, p0, pp1 = (p.reshape(9, m) for p in (pm1, p0, pp1))
+
+    cols = []
+    x, y, z = st.coords[:, 1], st.coords[:, 2], st.coords[:, 3]
+    for gi, (dx, dy) in enumerate(dxy):
+        ok_xy = st.valid & (x + dx >= 0) & (y + dy >= 0)
+        for pos, dz in ((pm1[gi], -1), (p0[gi], 0), (pp1[gi], 1)):
+            cols.append(jnp.where(ok_xy & (z + dz >= 0), pos, m))
+    return jnp.stack(cols), ok  # (27, M) in kernel_offsets(3) order
+
+
 def _build_subm_rulebook_k3(st: SparseTensor,
                             assume_sorted: bool = False) -> jax.Array:
     m = st.capacity
@@ -165,6 +195,28 @@ def _build_subm_rulebook_k3(st: SparseTensor,
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
     hi_pad = jnp.concatenate([hi_s, jnp.full((1,), big, jnp.int32)])
     lo_pad = jnp.concatenate([lo_s, jnp.full((1,), big, jnp.int32)])
+
+    def search_path():
+        return _k3_cols_searched(st, hi, lo, hi_s, lo_s, order_pad, hi_pad,
+                                 lo_pad, rank)
+
+    _tile = 512
+    if assume_sorted and m % _tile == 0 and m >= 8 * _tile:
+        # fast path: windowed sorted-join (sparse/merge_join.py) — positions
+        # ARE row ids in the assume_sorted layout; lax.cond falls back to the
+        # binary-search path on window overflow (exactness contract)
+        cols_j, ok = _k3_cols_joined(st, hi_s, lo_s, _tile)
+        nbr = jax.lax.cond(ok, lambda: cols_j, search_path)
+        return nbr.T.astype(jnp.int32)
+    return search_path().T.astype(jnp.int32)
+
+
+def _k3_cols_searched(st, hi, lo, hi_s, lo_s, order_pad, hi_pad, lo_pad,
+                      rank):
+    """(27, M) columns via the vectorized binary-search path (the general
+    path: works for any row order; the fallback when the windowed join's
+    overflow check trips)."""
+    m = st.capacity
 
     def resolve(p0, q_hi):
         """Given p0 = lower_bound(q_hi, lo-1), match dz in {-1,0,+1}.
@@ -208,8 +260,7 @@ def _build_subm_rulebook_k3(st: SparseTensor,
             cols_by_offset[(dx, dy, dz)] = grouped[gi, t]
 
     offs = kernel_offsets(3)
-    nbr = jnp.stack([cols_by_offset[tuple(o)] for o in offs])  # (27, M)
-    return nbr.T.astype(jnp.int32)
+    return jnp.stack([cols_by_offset[tuple(o)] for o in offs])  # (27, M)
 
 
 def _build_subm_rulebook_generic(st: SparseTensor, kernel_size: int) -> jax.Array:

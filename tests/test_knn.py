@@ -150,3 +150,21 @@ def test_cluster_knn_approx_mode(rng):
     rel = (np.sqrt(d_a + 1e-12) - np.sqrt(d_e + 1e-12)).mean() / max(
         np.sqrt(d_e).mean(), 1e-9)
     assert rel < 0.1, rel
+
+
+def test_cluster_knn_hierarchical_topk_bit_identical(rng):
+    """The hierarchical exact top-k (topk_chunk) must return bit-identical
+    indices to the flat lax.top_k path — same values AND same tie-breaking
+    (see ops/knn.py:_exact_topk_neg). Includes duplicated points so distance
+    ties actually occur across chunk boundaries."""
+    n, k = 512, 8
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[200:260] = pts[0:60]  # exact duplicates -> distance ties
+    cid = rng.integers(0, 3, size=n).astype(np.int32)
+    kw = dict(k=k, row_block=64, window=256)
+    flat = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid),
+                                  topk_chunk=None, **kw))
+    for chunk in (64, 128, 100):  # incl. a non-divisor of the window width
+        hier = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid),
+                                      topk_chunk=chunk, **kw))
+        np.testing.assert_array_equal(flat, hier, err_msg=f"chunk={chunk}")

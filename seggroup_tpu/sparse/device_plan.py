@@ -66,15 +66,28 @@ def build_windows_device(rulebook: jax.Array, tile: int, window: int):
     traced bool (False => the conv takes the exact global-gather branch)."""
     m = rulebook.shape[0]
     n_tiles = m // tile
-    rb3 = rulebook.reshape(n_tiles, tile, 9, 3)
-    present = rb3 < m
-    lo = jnp.min(jnp.where(present, rb3, m), axis=(1, 3))  # (n_tiles, 9)
+    # per-(tile, group) minima via a 3-D reshape + small (n_tiles, 9, 3)
+    # split. Deliberately NOT the natural reshape(n_tiles, tile, 9, 3) +
+    # min(axis=(1,3)): that 4-D big-array reduce miscompiles on TPU (XLA
+    # tail-tile bug, observed on v5e at m=2^19: the LAST (tile, group)
+    # element reads out-of-bounds garbage — /tmp repro kept in
+    # tests/test_sparse_plan.py::test_windows_device_last_tile notes).
+    clipped = jnp.minimum(rulebook, m)  # absent entries are already == m
+    lo27 = jnp.min(clipped.reshape(n_tiles, tile, 27), axis=1)
+    lo = jnp.min(lo27.reshape(n_tiles, 9, 3), axis=2)  # (n_tiles, 9)
     base = jnp.where(lo == m, 0, lo & ~15).astype(jnp.int32)
-    d = rb3 - base[:, None, :, None]
-    fits = present & (d >= 0) & (d < window)
-    local = jnp.where(fits, d, window).astype(jnp.int32)
+    # window-local rewrite on the flat (M, 27) layout: row r's group-g base
+    base_rows = jnp.repeat(base, tile, axis=0)          # (M, 9)
+    d27 = rulebook - jnp.repeat(base_rows, 3, axis=1)   # (M, 27)
+    present = rulebook < m
+    fits = present & (d27 >= 0) & (d27 < window)
+    local = jnp.where(fits, d27, window).astype(jnp.int32)
     use_window = ~jnp.any(present & ~fits)
-    rb_win = local.transpose(0, 3, 1, 2).reshape(3 * m, 9)
+    # dz-block-interleaved layout rb_win[(t*3+dz)*tile + i, g] =
+    # local[t*tile + i, 3g + dz], built from three strided column slices
+    # (2-D ops only, same TPU-bug avoidance as above)
+    per_dz = [local[:, dz::3].reshape(n_tiles, tile, 9) for dz in range(3)]
+    rb_win = jnp.stack(per_dz, axis=1).reshape(3 * m, 9)
     return {"rb_win": rb_win, "win_base": base, "use_window": use_window}
 
 

@@ -233,6 +233,37 @@ def test_device_plan_matches_host_plan(rng):
         np.testing.assert_array_equal(h["rb_win"], d["rb_win"])
 
 
+def test_windows_device_saturated_capacity(rng):
+    """Windows parity when num == capacity (no padding rows): the fully
+    saturated case a real 2^19 batch hits when scenes overflow the budget.
+
+    Regression context: on TPU v5e the previous build_windows_device
+    formulation — reshape(M, 27) -> (n_tiles, tile, 9, 3) + min(axis=(1,3))
+    over the big 4-D array — MISCOMPILED for the last (tile, group) element
+    at M=2^19 (XLA tail-tile bug: out-of-bounds garbage in the reduce,
+    verified with an isolated reshape+slice repro on real hardware). The
+    production code now uses 2-D/3-D shapes only; windows stay bit-equal to
+    native.subm_windows. CPU executes both formulations correctly, so this
+    test guards the *contract* (and the TPU bench re-checks on hardware)."""
+    from seggroup_tpu.sparse.conv import build_subm_rulebook
+    from seggroup_tpu.sparse.device_plan import build_windows_device
+    from seggroup_tpu.sparse.pallas_conv import TILE, WINDOW
+
+    cap = 8 * TILE
+    coords = _sorted_voxels(rng, cap, cap, grid=40)  # num == capacity
+    st = SparseTensor(jnp.asarray(coords), jnp.zeros((cap, 1)),
+                      jnp.ones((cap,), bool), jnp.int32(cap))
+    rb = np.asarray(build_subm_rulebook(st, 3, assume_sorted=True))
+    h_base, h_rb_win, h_ovf = native.subm_windows(rb, TILE, WINDOW)
+    dev = jax.tree_util.tree_map(
+        np.asarray,
+        jax.jit(lambda r: build_windows_device(r, TILE, WINDOW))(
+            jnp.asarray(rb)))
+    np.testing.assert_array_equal(h_base, dev["win_base"])
+    np.testing.assert_array_equal(h_rb_win, dev["rb_win"])
+    assert bool(dev["use_window"]) == (h_ovf == 0)
+
+
 def test_device_plan_window_levels_structure(rng):
     """window_levels gates which levels carry Pallas window plans (None
     entries keep the pytree structure host/device identical)."""

@@ -156,7 +156,15 @@ def _prep(coords, radius, batch_ids, valid, semantics, tile, window):
     # grid must be big enough that key-delta aliases are beyond the radius
     prodf = (dims[0].astype(jnp.float32) * dims[1].astype(jnp.float32)
              * dims[2].astype(jnp.float32) * nb.astype(jnp.float32))
-    ok_range = (prodf < jnp.float32(2 ** 30)) & jnp.all(dims >= 5)
+    # the sweep's two-piece f32 key-delta test is only exact near `off`
+    # when |off|+2 is exactly representable: bound max|offs| (≈ d1*d2 + d2)
+    # under the 2^22 margin the kernel comments assume — prodf alone lets
+    # d1*d2 reach 2^24 (extreme aspect ratios) where f32 spacing is 2 and a
+    # true dz=±1 edge could fail `delta <= off + 1`
+    off_mag = (dims[1].astype(jnp.float32) * dims[2].astype(jnp.float32)
+               + dims[2].astype(jnp.float32))
+    ok_range = ((prodf < jnp.float32(2 ** 30)) & jnp.all(dims >= 5)
+                & (off_mag + 2.0 < jnp.float32(2 ** 22)))
 
     key = ((batch_ids * dims[0] + cells[:, 0]) * dims[1]
            + cells[:, 1]) * dims[2] + cells[:, 2]
@@ -216,14 +224,13 @@ def _canonicalize(labels, n):
     return jnp.where(labels < n, lab, n)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile", "window", "max_sweeps", "jumps"))
-def _windowed_cc(coords, radius, batch_ids, valid, semantics,
-                 tile=TILE, window=WINDOW, max_sweeps=64, jumps=2):
-    n = coords.shape[0]
-    order, slab, win_base, offs, use_window = _prep(
-        coords, radius, batch_ids, valid, semantics, tile, window)
-    r2 = jnp.float32(radius) * jnp.float32(radius)
+def _cc_loop(order, slab, win_base, offs, r2, valid,
+             tile=TILE, window=WINDOW, max_sweeps=64, jumps=2):
+    """Sweep-to-fixpoint over prepped inputs -> original-domain canonical
+    labels. Factored out of _windowed_cc so semantic_radius_cc can place it
+    INSIDE the lax.cond branch (an eager operand would make every
+    fallback-taking batch pay for the full useless sweep loop too)."""
+    n = valid.shape[0]
     s_valid = valid[order]
     init = jnp.where(s_valid, jnp.arange(n, dtype=jnp.int32), n)
 
@@ -255,7 +262,20 @@ def _windowed_cc(coords, radius, batch_ids, valid, semantics,
     rep_orig = jnp.concatenate(
         [order, jnp.array([n], jnp.int32)])[jnp.minimum(lab_s, n)]
     lab_o = jnp.where(lab_s < n, rep_orig, n)[invert_permutation(order)]
-    return _canonicalize(lab_o, n), use_window
+    return _canonicalize(lab_o, n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "window", "max_sweeps", "jumps"))
+def _windowed_cc(coords, radius, batch_ids, valid, semantics,
+                 tile=TILE, window=WINDOW, max_sweeps=64, jumps=2):
+    order, slab, win_base, offs, use_window = _prep(
+        coords, radius, batch_ids, valid, semantics, tile, window)
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+    labels = _cc_loop(order, slab, win_base, offs, r2, valid,
+                      tile=tile, window=window, max_sweeps=max_sweeps,
+                      jumps=jumps)
+    return labels, use_window
 
 
 def semantic_radius_cc(
@@ -319,7 +339,12 @@ def semantic_radius_cc(
     if n % (8 * tile) != 0:
         return fallback(None)
 
-    lab_win, use_window = _windowed_cc(coords, jnp.float32(radius),
-                                       batch_ids, valid, semantics,
-                                       tile=tile, window=window)
-    return jax.lax.cond(use_window, lambda _: lab_win, fallback, None)
+    radius = jnp.float32(radius)
+    order, slab, win_base, offs, use_window = _prep(
+        coords, radius, batch_ids, valid, semantics, tile, window)
+
+    def windowed(_):
+        return _cc_loop(order, slab, win_base, offs, radius * radius, valid,
+                        tile=tile, window=window)
+
+    return jax.lax.cond(use_window, windowed, fallback, None)

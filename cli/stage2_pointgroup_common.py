@@ -57,19 +57,30 @@ def scene_instance_tuple(scene, extras, pseudo_root, name):
 
 
 def make_pg_batch(tuples, n_cap, i_cap, rng=None, augment=False,
-                  max_points_per_scene=None):
-    """tuples: list of (coords, colors, sem_nyu40 (0=unlabeled), ins (0=none))."""
+                  max_points_per_scene=None, crop_scale=50.0,
+                  crop_full_scale=512):
+    """tuples: list of (coords, colors, sem_nyu40 (0=unlabeled), ins (0=none)).
+
+    Over-budget scenes are cut by the reference's *spatial* crop (a random
+    [0, full_scale)^3 window whose xy extent shrinks until the scene fits —
+    pointgroup data/scannetv2_inst.py:142-158, on voxel-scaled coords at
+    scale 50), not first-N truncation, so the surviving points stay a
+    spatially coherent region."""
     cs, fs, bs, ls, il, sn = [], [], [], [], [], []
     total, next_inst = 0, 0
     for b, (coords, colors, sem, ins) in enumerate(tuples):
         if augment:
             coords, colors = T.default_train_transform(coords, colors, rng)
-        if max_points_per_scene and len(coords) > max_points_per_scene:
-            sel = rng.choice(len(coords), max_points_per_scene, replace=False)
-            coords, colors, sem, ins = coords[sel], colors[sel], sem[sel], ins[sel]
-        keep = min(len(coords), n_cap - total)
-        coords, colors, sem, ins = (coords[:keep], colors[:keep], sem[:keep],
-                                    ins[:keep])
+        budget = n_cap - total
+        if max_points_per_scene:
+            budget = min(budget, max_points_per_scene)
+        if len(coords) > budget:
+            crop_rng = rng if rng is not None else np.random.default_rng(0)
+            xyz = (coords - coords.min(0)) * crop_scale
+            _, mask = T.spatial_crop(xyz, budget, crop_rng,
+                                     full_scale=crop_full_scale)
+            coords, colors, sem, ins = (coords[mask], colors[mask],
+                                        sem[mask], ins[mask])
         lab20 = NYU40_TO_20[np.clip(sem, 0, 40)]
         inst = np.full(len(ins), IGNORE, np.int32)
         for u in np.unique(ins):
@@ -80,7 +91,7 @@ def make_pg_batch(tuples, n_cap, i_cap, rng=None, augment=False,
         cs.append(coords); fs.append(colors / 127.5 - 1.0)
         bs.append(np.full(len(coords), b, np.int32))
         ls.append(lab20); il.append(inst); sn.append(sem)
-        total += keep
+        total += len(coords)
         if total >= n_cap:
             break
 

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--configs", type=str, default="24x12,8x12,4x16",
                     help="instance-count x segs-per-instance per scene")
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--cluster_cap", type=int, default=1024,
+                    help="production FPS candidate budget under test")
+    ap.add_argument("--knn_window", type=int, default=8192,
+                    help="production Morton-window kNN budget under test")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +55,8 @@ def main():
     from seggroup_tpu.models.seggroup import SegGroupGNN
 
     n = args.num_points
-    prod = SegGroupGNN(cluster_cap=1024, knn_window=8192, sequential=True)
+    prod = SegGroupGNN(cluster_cap=args.cluster_cap,
+                       knn_window=args.knn_window, sequential=True)
     # exact: budgets cover any cluster (cap rounded to the full scene)
     exact = SegGroupGNN(cluster_cap=n, knn_window=n, sequential=True)
 

@@ -99,6 +99,44 @@ def chromatic_jitter(colors: np.ndarray, rng: np.random.Generator,
     return np.clip(colors + noise, 0, 255)
 
 
+def random_dropout(coords: np.ndarray, feats: np.ndarray,
+                   labels: np.ndarray, rng: np.random.Generator,
+                   dropout_ratio: float = 0.2):
+    """Random point dropout (reference minkowski/lib/transforms.py:141-156,
+    wired into training at lib/dataset.py:451).
+
+    Faithful to the reference's behaviour, including its quirk: the
+    *application* probability is `dropout_ratio` itself (the constructor's
+    dropout_application_ratio is never read), and when applied it keeps a
+    uniform sample of N*(1-dropout_ratio) points."""
+    if rng.random() < dropout_ratio:
+        n = len(coords)
+        inds = rng.choice(n, int(n * (1 - dropout_ratio)), replace=False)
+        return coords[inds], feats[inds], labels[inds]
+    return coords, feats, labels
+
+
+def spatial_crop(xyz: np.ndarray, max_npoint: int, rng: np.random.Generator,
+                 full_scale: int = 512, shrink: int = 32):
+    """Reference PointGroup spatial crop (pointgroup data/scannetv2_inst.py:
+    142-158): shift the (voxel-scaled, >= 0) cloud by a random offset inside
+    a [0, full_scale)^3 window and shrink the window's xy extent by `shrink`
+    until <= max_npoint points survive. Returns (xyz_offset, valid_mask) —
+    a spatially coherent crop, unlike first-N truncation.
+
+    Guaranteed to terminate: once full_scale[:2] <= 0 no point is valid."""
+    xyz_offset = xyz.copy()
+    valid = np.ones(len(xyz), bool)
+    fs = np.array([full_scale] * 3, np.float64)
+    room_range = xyz.max(0) - xyz.min(0)
+    while valid.sum() > max_npoint:
+        offset = np.clip(fs - room_range + 0.001, None, 0) * rng.random(3)
+        xyz_offset = xyz + offset
+        valid = (xyz_offset.min(1) >= 0) & ((xyz_offset < fs).sum(1) == 3)
+        fs[:2] -= shrink
+    return xyz_offset, valid
+
+
 def default_train_transform(coords, colors, rng,
                             elastic=((0.2, 0.4), (0.8, 1.6))):
     """The reference ScanNet training recipe (minkowski scannet.py

@@ -68,14 +68,22 @@ def make_voxel_batch(
     rng: np.random.Generator | None = None,
     augment: bool = False,
     feat_norm: bool = True,
+    dropout_ratio: float = 0.2,
 ) -> VoxelBatch:
     """scenes: iterable of (coords (N,3) meters, colors (N,3) 0..255,
-    labels (N,) int with IGNORE_LABEL for unlabeled)."""
+    labels (N,) int with IGNORE_LABEL for unlabeled).
+
+    When augment=True the reference training recipe applies, including
+    RandomDropout (minkowski lib/dataset.py:451, transforms.py:141-156)
+    before the geometric/chromatic transforms."""
     all_c, all_f, all_l, p2v_list = [], [], [], []
     total = 0
     for b, (coords, colors, labels) in enumerate(scenes):
         if augment:
             assert rng is not None
+            if dropout_ratio:
+                coords, colors, labels = T.random_dropout(
+                    coords, colors, labels, rng, dropout_ratio)
             coords, colors = T.default_train_transform(coords, colors, rng)
         ic, f, l, p2v = voxelize_scene(coords, colors, labels, voxel_size)
         keep = min(len(ic), capacity - total)

@@ -117,29 +117,31 @@ class EdgeConvBlock(nn.Module):
     conv over a precomputed kNN graph. Input (N, 9), idx (N, k); feature is
     concat(f_nbr - f_self, f_self) -> 18 dims; 1..2 conv layers; max over k.
 
-    The (N, k, C) intermediates ride in bfloat16 (gathers and elementwise
-    traffic are the cost here — see docs/ARCHITECTURE.md perf notes); matmul
-    accumulation and BN statistics stay f32."""
+    The (N, k, C) intermediates ride in `dtype` (default bfloat16: gathers
+    and elementwise traffic are the cost here — see docs/ARCHITECTURE.md perf
+    notes); matmul accumulation and BN statistics stay f32. dtype=float32 is
+    the reference-precision path (used by the composed numpy-oracle test)."""
 
     layers: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(
         self, x: jax.Array, idx: jax.Array, point_valid: jax.Array, train: bool
     ) -> jax.Array:
         n, k = idx.shape
-        xb = x.astype(jnp.bfloat16)
-        nbr = xb[idx]  # (N, k, 9) bf16
+        xb = x.astype(self.dtype)
+        nbr = xb[idx]  # (N, k, 9)
         self_f = jnp.broadcast_to(xb[:, None, :], nbr.shape)
         feat = jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (N, k, 18)
         mask = jnp.broadcast_to(point_valid[:, None], (n, k))
-        h = nn.Dense(64, use_bias=False, dtype=jnp.bfloat16, name="conv1")(feat)
+        h = nn.Dense(64, use_bias=False, dtype=self.dtype, name="conv1")(feat)
         h = MaskedBatchNorm(name="bn1")(h, mask, train)
-        h = _leaky(h).astype(jnp.bfloat16)
+        h = _leaky(h).astype(self.dtype)
         if self.layers == 2:
-            h = nn.Dense(64, use_bias=False, dtype=jnp.bfloat16, name="conv2")(h)
+            h = nn.Dense(64, use_bias=False, dtype=self.dtype, name="conv2")(h)
             h = MaskedBatchNorm(name="bn2")(h, mask, train)
-            h = _leaky(h).astype(jnp.bfloat16)
+            h = _leaky(h).astype(self.dtype)
         h = jnp.max(h, axis=1).astype(jnp.float32)  # over k -> (N, 64)
         return jnp.where(point_valid[:, None], h, 0.0)
 
@@ -303,12 +305,14 @@ class SegGroupGNN(nn.Module):
     mlp1_points: int = 64
     cluster_cap: int = 1024
     max_instances: int = 128
+    compute_dtype: jnp.dtype = jnp.bfloat16  # edge-conv intermediate dtype;
+    # float32 = reference precision (the composed-oracle test's configuration)
 
     def setup(self):
         self.mlp_1 = MLP1()
-        self.mlp_2 = EdgeConvBlock(layers=1)
+        self.mlp_2 = EdgeConvBlock(layers=1, dtype=self.compute_dtype)
         self.gcn_2 = GCN(192)
-        self.mlp_3 = EdgeConvBlock(layers=2)
+        self.mlp_3 = EdgeConvBlock(layers=2, dtype=self.compute_dtype)
         self.gcn_3 = GCN(256)
         self.classifier = Classifier()
 

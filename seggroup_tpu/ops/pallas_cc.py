@@ -227,9 +227,9 @@ def _canonicalize(labels, n):
 def _cc_loop(order, slab, win_base, offs, r2, valid,
              tile=TILE, window=WINDOW, max_sweeps=64, jumps=2):
     """Sweep-to-fixpoint over prepped inputs -> original-domain canonical
-    labels. Factored out of _windowed_cc so semantic_radius_cc can place it
-    INSIDE the lax.cond branch (an eager operand would make every
-    fallback-taking batch pay for the full useless sweep loop too)."""
+    labels. Kept separate so semantic_radius_cc can place it INSIDE the
+    lax.cond branch (an eager operand would make every fallback-taking
+    batch pay for the full useless sweep loop too)."""
     n = valid.shape[0]
     s_valid = valid[order]
     init = jnp.where(s_valid, jnp.arange(n, dtype=jnp.int32), n)
@@ -265,19 +265,6 @@ def _cc_loop(order, slab, win_base, offs, r2, valid,
     return _canonicalize(lab_o, n)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile", "window", "max_sweeps", "jumps"))
-def _windowed_cc(coords, radius, batch_ids, valid, semantics,
-                 tile=TILE, window=WINDOW, max_sweeps=64, jumps=2):
-    order, slab, win_base, offs, use_window = _prep(
-        coords, radius, batch_ids, valid, semantics, tile, window)
-    r2 = jnp.float32(radius) * jnp.float32(radius)
-    labels = _cc_loop(order, slab, win_base, offs, r2, valid,
-                      tile=tile, window=window, max_sweeps=max_sweeps,
-                      jumps=jumps)
-    return labels, use_window
-
-
 def semantic_radius_cc(
     coords: jax.Array,
     radius: float | jax.Array,
@@ -288,10 +275,14 @@ def semantic_radius_cc(
     tile: int = TILE,
     window: int = WINDOW,
     fused_halves: bool = False,
+    return_use_window: bool = False,
 ) -> jax.Array:
     """Connected components of the radius graph restricted to equal
     `semantics`, batch-local, over `valid` points. Returns (N,) int32
-    labels = min original point index per component (== N for invalid).
+    labels = min original point index per component (== N for invalid);
+    with return_use_window=True, returns (labels, use_window) where
+    use_window is the traced bool selecting the fused windowed kernel over
+    the exact XLA fallback (False when the shape precludes the kernel).
 
     Fast path: the fused windowed sweep kernel above. Fallback (window or
     key-range overflow, tiny grids, or N not a multiple of 8*tile): the
@@ -337,14 +328,18 @@ def semantic_radius_cc(
                                 jnp.where(lb < h, lb + h, n)])
 
     if n % (8 * tile) != 0:
-        return fallback(None)
+        out = fallback(None)
+        return (out, jnp.array(False)) if return_use_window else out
 
-    radius = jnp.float32(radius)
+    # distinct name: `radius` stays the caller's value for the fallback
+    # closure above (which may want a static python float)
+    radius_f = jnp.float32(radius)
     order, slab, win_base, offs, use_window = _prep(
-        coords, radius, batch_ids, valid, semantics, tile, window)
+        coords, radius_f, batch_ids, valid, semantics, tile, window)
 
     def windowed(_):
-        return _cc_loop(order, slab, win_base, offs, radius * radius, valid,
-                        tile=tile, window=window)
+        return _cc_loop(order, slab, win_base, offs, radius_f * radius_f,
+                        valid, tile=tile, window=window)
 
-    return jax.lax.cond(use_window, windowed, fallback, None)
+    out = jax.lax.cond(use_window, windowed, fallback, None)
+    return (out, use_window) if return_use_window else out

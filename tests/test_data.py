@@ -135,6 +135,68 @@ def test_transforms_shapes(rng):
     assert col2.min() >= 0 and col2.max() <= 255
 
 
+def test_random_dropout(rng):
+    """Reference RandomDropout semantics (minkowski lib/transforms.py:141-156):
+    applied with probability == dropout_ratio; keeps N*(1-ratio) points."""
+    coords = rng.random((1000, 3)).astype(np.float32)
+    colors = rng.random((1000, 3)).astype(np.float32)
+    labels = np.arange(1000, dtype=np.int32)
+    sizes = set()
+    for _ in range(64):
+        c, f, l = T.random_dropout(coords, colors, labels, rng, 0.2)
+        assert len(c) == len(f) == len(l)
+        assert len(c) in (1000, 800)
+        if len(c) == 800:
+            # surviving rows are rows of the input, labels stay aligned
+            assert (coords[l] == c).all()
+        sizes.add(len(c))
+    assert sizes == {1000, 800}  # both branches taken over 64 draws
+    # ratio 0 -> identity
+    c, f, l = T.random_dropout(coords, colors, labels, rng, 0.0)
+    assert len(c) == 1000
+
+
+def test_spatial_crop(rng):
+    """Reference crop (pointgroup scannetv2_inst.py:142-158): result fits
+    the budget, survivors form a contiguous spatial window."""
+    xyz = rng.random((5000, 3)).astype(np.float64) * 700.0  # > full_scale
+    shifted, mask = T.spatial_crop(xyz, 2000, rng, full_scale=512)
+    assert mask.sum() <= 2000
+    assert mask.sum() > 0
+    sel = shifted[mask]
+    assert (sel.min(1) >= 0).all()
+    # every point inside the final window is kept (spatial coherence):
+    # survivors are exactly the window members, not an arbitrary subset
+    inside = (shifted.min(1) >= 0) & (shifted.max(1) < 512)
+    assert mask.sum() == (mask & inside).sum()
+    # a scene already under budget is untouched
+    small = xyz[:100]
+    shifted, mask = T.spatial_crop(small, 2000, rng, full_scale=512)
+    assert mask.all() and (shifted == small).all()
+
+
+def test_make_pg_batch_spatial_crop(rng):
+    """Over-budget scenes are spatially cropped, not first-N truncated."""
+    from cli.stage2_pointgroup_common import make_pg_batch
+
+    n = 4000
+    coords = rng.random((n, 3)).astype(np.float32) * 10.0
+    colors = rng.integers(0, 255, (n, 3)).astype(np.float32)
+    sem = rng.integers(1, 10, n).astype(np.int32)
+    ins = rng.integers(1, 5, n).astype(np.int32)
+    hb = make_pg_batch([(coords, colors, sem, ins)], n_cap=2048, i_cap=16,
+                       rng=rng)
+    nv = int(hb.valid.sum())
+    assert 0 < nv <= 2048
+    # survivors span a sub-window of the room, not its first-N prefix:
+    # the kept coords' bbox must be strictly smaller than the room in xy
+    # (crop shrinks xy extent; first-N truncation keeps the full extent)
+    kept = hb.coords[:nv]
+    room = coords.max(0) - coords.min(0)
+    window = kept.max(0) - kept.min(0)
+    assert (window[:2] < room[:2] - 1e-3).any()
+
+
 def test_voxel_batch(rng):
     scenes = []
     for _ in range(3):

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from seggroup_tpu.ops.pallas_cc import _windowed_cc, semantic_radius_cc
+from seggroup_tpu.ops.pallas_cc import semantic_radius_cc
 
 
 def oracle_labels(coords, radius, batch, valid, sem):
@@ -65,9 +65,9 @@ def same_partition(a, b, valid):
 
 def test_windowed_cc_matches_oracle(rng):
     coords, batch, sem, valid = make_scene(rng)
-    lab, use_window = _windowed_cc(
+    lab, use_window = semantic_radius_cc(
         jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
-        jnp.asarray(valid), jnp.asarray(sem))
+        jnp.asarray(valid), jnp.asarray(sem), return_use_window=True)
     assert bool(use_window)
     lab = np.asarray(lab)
     want = oracle_labels(coords, 0.12, batch, sem, valid)
@@ -87,9 +87,9 @@ def test_windowed_cc_respects_batch_and_semantics(rng):
     sem = np.array([5, 5, 5, 6, 9, 9] + [0] * (n_cap - 6), np.int32)
     valid = np.zeros(n_cap, bool)
     valid[:6] = True
-    lab, use_window = _windowed_cc(
+    lab, use_window = semantic_radius_cc(
         jnp.asarray(coords), jnp.float32(0.05), jnp.asarray(batch),
-        jnp.asarray(valid), jnp.asarray(sem))
+        jnp.asarray(valid), jnp.asarray(sem), return_use_window=True)
     assert bool(use_window)
     lab = np.asarray(lab)
     assert lab[0] == lab[1] == 0          # same batch+sem, touching
@@ -120,14 +120,12 @@ def test_window_overflow_falls_back(rng):
     """A dense blob overflows a tiny window; the cond must take the exact
     fallback and still produce the right partition."""
     coords, batch, sem, valid = make_scene(rng, n=1800, blobs=2, spread=0.2)
-    lab, use_window = _windowed_cc(
-        jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
-        jnp.asarray(valid), jnp.asarray(sem), window=32)
-    assert not bool(use_window)
-    out = np.asarray(semantic_radius_cc(
+    out, use_window = semantic_radius_cc(
         jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
         jnp.asarray(valid), jnp.asarray(sem), window=32,
-        max_neighbors_fallback=128))
+        max_neighbors_fallback=128, return_use_window=True)
+    assert not bool(use_window)
+    out = np.asarray(out)
     want = oracle_labels(coords, 0.12, batch, sem, valid)
     assert same_partition(out, want, valid)
 

@@ -157,12 +157,15 @@ def baseline_points_per_sec(budget_s: float = 240.0):
 
 
 def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
-                                 batch_size=4, iters=6):
+                                 batch_size=4, iters=6, with_packed=True):
     """End-to-end pipelined PointGroup training s/iter at the reference batch
     budget (batch 4, clustering + ScoreNet ON — the post-prepare_epochs
     steady state; reference config/pointgroup_run2_scannet.yaml batch 4,
     max_npoint 250k, epochs 128..384 run clustering). Host threads build
-    batches + 7-level pyramid plans ahead of the device."""
+    batches + 7-level pyramid plans ahead of the device.
+
+    with_packed=False skips the pipelined packed-step measurement (a second,
+    larger program compile) and returns (device_s, None)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -196,8 +199,11 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
         rng = np.random.default_rng(step)
         hb = make_pg_batch(tuples, point_cap, instance_cap, rng=rng,
                            augment=True)
+        # window_levels=0: no Pallas windows for PG (skinny channels gain
+        # little; the windowed program's compile OOMs the remote helper at
+        # full scale — see host_voxelize_plan docstring)
         vox = host_voxelize_plan(hb, 0.02, voxel_cap, level_caps,
-                                 window_levels=3)
+                                 window_levels=0)
         return hb, vox
 
     def to_device(hb, vox):
@@ -263,6 +269,8 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
                                                     *dev0, key)
         _ = float(loss)
     device_s = (time.time() - t0) / 4
+    if not with_packed:
+        return device_s, None
 
     # pipelined end-to-end: the trainer's default minimal-transfer path
     # (compact ~20 MB wire batches, 7-level plan rebuilt on device in-step)
@@ -288,12 +296,14 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
         params, stats, opt_state, loss = train_step_packed(
             params, stats, opt_state, w, key)
         _ = float(loss)
+        # no per-iter syncs: overlap wire transfer with the running step
+        # (see the minkunet pipelined loop)
         t0 = time.time()
         for _ in range(iters):
             w = jax.device_put(next(prefetch))
             params, stats, opt_state, loss = train_step_packed(
                 params, stats, opt_state, w, key)
-            _ = float(loss)
+        _ = float(loss)
         pipe_s = (time.time() - t0) / iters
     finally:
         prefetch.close()
@@ -492,12 +502,17 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
                 params, stats, opt_state, *packed)
             _ = float(loss)
         device_packed_s = (time.time() - t0) / 3
+        # pipelined loop WITHOUT per-iter host syncs: dispatch is async, so
+        # the wire transfer of batch t+1 overlaps the device step on batch t
+        # (a per-iter float(loss) would serialize transfer behind compute —
+        # measured +0.25 s/iter at 2^19 through the remote tunnel); one
+        # scalar fetch at the end is the only reliable sync
         t0 = time.time()
         for _ in range(iters):
             packed = jax.device_put(next(prefetch))
             params, stats, opt_state, loss = train_step_packed(
                 params, stats, opt_state, *packed)
-            _ = float(loss)
+        _ = float(loss)
         pipe_s = (time.time() - t0) / iters
     finally:
         prefetch.close()
@@ -577,15 +592,35 @@ def main():
            else {"error": "section failed"}),
     }
 
-    # last: the largest program; a worker crash here must not cost the rest
-    pg = attempt("pointgroup", stage2_pointgroup_s_per_iter)
-    detail["stage2_pointgroup_train"] = {
-        "config": "batch=4 clustering+ScoreNet pts=2^19 vox=2^18 "
-                  "(reference run2 yaml batch 4)",
-        **({"s_per_iter_pipelined": round(pg[1], 3),
-            "s_per_iter_device_step": round(pg[0], 3)} if pg
-           else {"error": "section failed"}),
-    }
+    # last: the largest program; a worker crash here must not cost the rest.
+    # Capacity backoff (VERDICT r2 item 1): try the full reference budget
+    # first; on a compile-helper OOM fall back to half capacity and report
+    # the scale measured, so the section never ships empty.
+    pg_caps = [(2 ** 19, 2 ** 18), (2 ** 18, 2 ** 17)]
+    pg, pg_scale = None, None
+    for pc, vc in pg_caps:
+        pg = attempt(f"pointgroup_{pc}", lambda pc=pc, vc=vc:
+                     stage2_pointgroup_s_per_iter(point_cap=pc, voxel_cap=vc))
+        if pg:
+            pg_scale = (pc, vc)
+            break
+    entry_pg = {"config": "batch=4 clustering+ScoreNet "
+                          "(reference run2 yaml batch 4; full budget "
+                          "pts=2^19 vox=2^18)"}
+    if pg:
+        entry_pg["measured_at"] = (f"pts=2^{pg_scale[0].bit_length() - 1} "
+                                   f"vox=2^{pg_scale[1].bit_length() - 1}")
+        entry_pg["s_per_iter_device_step"] = round(pg[0], 3)
+        if pg[1] is not None:
+            entry_pg["s_per_iter_pipelined"] = round(pg[1], 3)
+        if pg_scale != pg_caps[0]:
+            entry_pg["note"] = ("measured at half capacity after a "
+                                "compile-helper OOM at the full budget; "
+                                "the step program is capacity-linear in "
+                                "both compute and HBM traffic")
+    else:
+        entry_pg["error"] = "section failed"
+    detail["stage2_pointgroup_train"] = entry_pg
 
     tpu_pps = s1[0] if s1 else 0.0
     base_pps = base[0] if base else None

@@ -125,7 +125,7 @@ def make_pg_batch(tuples, n_cap, i_cap, rng=None, augment=False,
 
 
 def host_voxelize_plan(hb: PGHostBatch, voxel_size: float, voxel_cap: int,
-                       level_caps=None, window_levels: int | None = 3):
+                       level_caps=None, window_levels: int | None = 0):
     """Host-side voxelization + (optional) 7-level UNet plan for PointGroup.
 
     The reference builds every spconv rulebook host-side (pointgroup
@@ -134,7 +134,15 @@ def host_voxelize_plan(hb: PGHostBatch, voxel_size: float, voxel_cap: int,
     worker so the device never waits for rulebook construction
     (sparse/plan.py). Returns (voxel_coords (cap,4) int32 lex-sorted,
     num_voxels, point2voxel (N,) with voxel_cap for dropped/invalid points,
-    plan | None)."""
+    plan | None).
+
+    window_levels defaults to 0 for PointGroup (no Pallas windowed-gather
+    levels): at m=16 the channel counts (6..112) pad to 128 MXU lanes, so
+    the one-hot in-window gather buys little over the XLA gather, while each
+    windowed level adds ~9 Mosaic kernels to an already-huge train-step
+    program — measured r3: windows take the step's StableHLO from 4.0 MB to
+    9.5 MB, and the remote TPU compile helper OOMs on the windowed program
+    at the full 2^19-pt/2^18-vox reference budget."""
     from seggroup_tpu import native
     from seggroup_tpu.sparse.plan import build_unet_plan
 

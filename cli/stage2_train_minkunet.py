@@ -305,6 +305,7 @@ def main():
                        "opt_state": jax.device_get(opt_state)})
 
     hist_acc = np.zeros((args.num_classes, args.num_classes))
+    hist_dev = None  # device-side accumulator between logging syncs
     best_val = -1.0
     t_window = time.time()
     it_window = start_it
@@ -337,8 +338,12 @@ def main():
                 st, labels, plan = to_device(vb, plan)
                 params, stats, opt_state, loss, hist = train_step(
                     params, stats, opt_state, st, labels, plan)
-            hist_acc += np.asarray(hist)
+            # accumulate on device; an np.asarray here would sync every step
+            # and serialize the next batch's wire transfer behind this step
+            hist_dev = hist if hist_dev is None else hist_dev + hist
             if it % 10 == 0 or it == args.max_iter:
+                hist_acc = hist_acc + np.asarray(hist_dev)
+                hist_dev = None
                 miou, _ = miou_from_confusion(hist_acc)
                 io.cprint(
                     "iter %d/%d  loss %.4f  running mIoU %.2f%%  lr %.4g  (%.2fs/it)"

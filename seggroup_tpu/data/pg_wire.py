@@ -34,7 +34,7 @@ def pack_pg_batch(hb, vcoords, num, p2v):
     }
 
 
-def unpack_pg_batch(w, voxel_cap: int, level_caps, window_levels: int = 3):
+def unpack_pg_batch(w, voxel_cap: int, level_caps, window_levels: int = 0):
     """Device-side inverse of pack_pg_batch (call under jit). Returns
     (st, p2v, coords, batch_ids, valid, labels, inst, centroid, pointnum,
     plan) matching the host to_device layout, with the pyramid plan built on

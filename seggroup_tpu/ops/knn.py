@@ -145,8 +145,40 @@ def _exact_topk_neg(d: jax.Array, k: int, chunk: int | None) -> tuple[jax.Array,
     return neg, jnp.take_along_axis(cand_idx, sel, axis=1)
 
 
+def _iter_min_topk(d: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top_k(-d, k) via k rounds of (min, argmin, mask) — identical
+    values AND tie order to lax.top_k (argmin takes the first minimum, and
+    masking one column per round yields equal values in ascending column
+    order, which is exactly top_k's ordering among equals).
+
+    Why: XLA's top_k lowers to a PartialSort whose cost is near-flat in k and
+    heavy per element (measured 3.8 ms per (1024, 9216) f32 block on v5e —
+    ~84x the pure HBM-traffic floor). k rounds of fused min+argmin+mask are
+    plain VPU passes: measured ~3x faster at k=20, and the win grows as k
+    shrinks. Used by cluster_knn (the stage-1 kNN bound, reference get_knn
+    model.py:512-522)."""
+    r, w = d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    big = jnp.float32(3e38)
+
+    def round_body(i, carry):
+        d_cur, vals, idxs = carry
+        m = jnp.min(d_cur, axis=1)
+        win = d_cur == m[:, None]
+        j = jnp.min(jnp.where(win, col, w), axis=1).astype(jnp.int32)
+        d_cur = jnp.where(col == j[:, None], big, d_cur)
+        vals = vals.at[:, i].set(-m)
+        idxs = idxs.at[:, i].set(j)
+        return d_cur, vals, idxs
+
+    _, vals, idxs = jax.lax.fori_loop(
+        0, k, round_body,
+        (d, jnp.zeros((r, k), d.dtype), jnp.zeros((r, k), jnp.int32)))
+    return vals, idxs
+
+
 @partial(jax.jit, static_argnames=("k", "row_block", "col_block", "window",
-                                   "approx", "topk_chunk"))
+                                   "approx", "topk_chunk", "topk_method"))
 def cluster_knn(
     points: jax.Array,
     cluster_ids: jax.Array,
@@ -157,6 +189,7 @@ def cluster_knn(
     approx: bool = False,
     valid: jax.Array | None = None,
     topk_chunk: int | None = None,
+    topk_method: str = "iter_min",
 ) -> jax.Array:
     """Per-point kNN restricted to points sharing `cluster_ids` (self included).
 
@@ -226,11 +259,14 @@ def cluster_knn(
         same = rows_cid[:, None] == cols_cid[None, :]
         d = jnp.where(same, d, big)
         if approx:
-            # TPU-native approximate top-k (lax.approx_max_k): ~3.7x faster
-            # than exact at w=9216 (81 vs 297 ms over a 150k scene); may
+            # TPU-native approximate top-k (lax.approx_max_k): may
             # miss/duplicate a tail neighbor — opt-in fast path, NOT used
             # when reference parity matters
             neg_d, bi = jax.lax.approx_max_k(-d, k, recall_target=0.95)
+        elif topk_method == "iter_min":
+            # exact k-round min extraction — identical values and tie order
+            # to lax.top_k, ~3x faster at k=20 on v5e (see _iter_min_topk)
+            neg_d, bi = _iter_min_topk(d, k)
         else:
             # exact, hierarchical (identical values AND tie-breaks to the
             # flat lax.top_k — see _exact_topk_neg)

@@ -472,7 +472,7 @@ def subm_conv(
         "subm_conv custom VJP requires an odd (symmetric) kernel")
     feats = jnp.where(st.valid[:, None], st.feats, 0.0)
     if (windows is None or st.capacity % pallas_conv.TILE != 0
-            or st.capacity < 8 * pallas_conv.TILE):  # SMEM base blocks are 8-tile
+            or st.capacity < 8 * pallas_conv.TILE):  # small levels: plain path
         out = _subm_conv_core(feats, weights, rulebook, compute_dtype)
     else:
         out = _subm_conv_win_core(

@@ -11,7 +11,9 @@ max span 336 rows for T=256 on 2cm ScanNet-like batches; see
 native.subm_windows which builds the window plan on host). Per (tile, group):
 
   1. one contiguous async DMA pulls the (W, Cin) window HBM -> VMEM at full
-     bandwidth, double-buffered across the 9 groups;
+     bandwidth; windows are double-buffered ACROSS TILES (tile t computes
+     from buffers filled at step t-1 while tile t+1's 9 windows prefetch),
+     so the MXU never stalls on HBM latency even at small tile sizes;
   2. the in-window gather is a one-hot (T, W) x (W, Cin) matmul on the MXU —
      exact (one-hot rows select exactly one bf16 row) and never touching HBM;
   3. the conv weight apply (T, Cin) x (Cin, Cout) fuses right behind it.
@@ -49,32 +51,54 @@ def _pad128(c: int) -> int:
     return (c + 127) // 128 * 128
 
 
-def _make_dma(f_ref, win_buf, sems, base_ref, g, slot, window):
-    # base_ref is an (8, 9) SMEM block (window starts for 8 consecutive
-    # tiles, 16-aligned); this tile's row is program_id % 8
-    base = pl.multiple_of(base_ref[pl.program_id(0) % 8, g], 16)
+def _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window):
+    # base_ref is the WHOLE win_base array, flattened to (n_tiles * 9,) and
+    # scalar-prefetched into SMEM (flat: a 2-D (n_tiles, 9) SMEM operand
+    # would pad its lane dim 9 -> 128 and blow the 1 MB SMEM budget);
+    # window starts are 16-aligned by the planner
+    base = pl.multiple_of(base_ref[t * 9 + g], 16)
     return pltpu.make_async_copy(
         f_ref.at[pl.ds(base, window), :],
-        win_buf.at[slot],
-        sems.at[slot],
+        win_buf.at[slot, g],
+        sems.at[slot, g],
     )
+
+
+def _start_tile(f_ref, win_buf, sems, base_ref, t, slot, window):
+    for g in range(9):
+        _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window).start()
 
 
 def _fwd_kernel(base_ref, rbl_ref, f_ref, w_ref, out_ref, win_buf, sems):
     # rbl_ref block: (3T, 9) dz-block-interleaved local indices — rows
     # [dz*T, (dz+1)*T) hold the dz-th offset column of this tile, so the
-    # whole group gathers with ONE (3T, W) x (W, Cin) MXU dot
+    # whole group gathers with ONE (3T, W) x (W, Cin) MXU dot.
+    #
+    # Cross-tile double buffering: tile t computes from buffer slot t%2
+    # (whose 9 window DMAs were issued at step t-1), while slot (t+1)%2
+    # prefetches tile t+1's windows — the MXU never stalls on HBM latency,
+    # which is what makes SMALL tiles (tighter windows -> fewer one-hot
+    # MACs) actually faster instead of wait-bound.
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     tile = rbl_ref.shape[0] // 3
-    window = win_buf.shape[1]
-    # all 9 window DMAs go in flight immediately (the buffers are ~1 MB
-    # total); the MXU never waits on HBM latency after the first window
-    for g in range(9):
-        _make_dma(f_ref, win_buf, sems, base_ref, g, g, window).start()
+    window = win_buf.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        _start_tile(f_ref, win_buf, sems, base_ref, 0, 0, window)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _start_tile(f_ref, win_buf, sems, base_ref, t + 1, (t + 1) % 2,
+                    window)
+
+    slot = t % 2
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (3 * tile, window), 1)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for g in range(9):
-        _make_dma(f_ref, win_buf, sems, base_ref, g, g, window).wait()
-        win = win_buf[g]
+        _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window).wait()
+        win = win_buf[slot, g]
         oh = (iota_w == rbl_ref[:, g][:, None]).astype(win.dtype)
         rows = jnp.dot(oh, win, preferred_element_type=jnp.float32)
         rows = rows.astype(win.dtype)
@@ -87,20 +111,26 @@ def _fwd_kernel(base_ref, rbl_ref, f_ref, w_ref, out_ref, win_buf, sems):
 
 def _dw_kernel(base_ref, rbl_ref, f_ref, dout_ref, dw_ref, win_buf, sems):
     t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     tile = rbl_ref.shape[0] // 3
-    window = win_buf.shape[1]
+    window = win_buf.shape[2]
 
     @pl.when(t == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
+        _start_tile(f_ref, win_buf, sems, base_ref, 0, 0, window)
 
-    for g in range(9):
-        _make_dma(f_ref, win_buf, sems, base_ref, g, g, window).start()
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _start_tile(f_ref, win_buf, sems, base_ref, t + 1, (t + 1) % 2,
+                    window)
+
+    slot = t % 2
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (3 * tile, window), 1)
     dout = dout_ref[:]
     for g in range(9):
-        _make_dma(f_ref, win_buf, sems, base_ref, g, g, window).wait()
-        win = win_buf[g]
+        _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window).wait()
+        win = win_buf[slot, g]
         oh = (iota_w == rbl_ref[:, g][:, None]).astype(win.dtype)
         rows = jnp.dot(oh, win, preferred_element_type=jnp.float32)
         rows = rows.astype(win.dtype)
@@ -133,21 +163,20 @@ def subm_conv_windowed(feats, weights, rb_local, win_base,
     if cin_p != cin:
         weights = jnp.zeros((27, cin_p, cout), weights.dtype).at[:, :cin, :].set(weights)
     cin = cin_p
-    grid_spec = pl.GridSpec(
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # win_base (n_tiles, 9) rides whole in SMEM
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 9), lambda t: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3 * tile, 9), lambda t: (t, 0),
+            pl.BlockSpec((3 * tile, 9), lambda t, base: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((tile, cout), lambda t, base: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((9, window, cin), compute_dtype),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, 9, window, cin), compute_dtype),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     return pl.pallas_call(
@@ -163,7 +192,7 @@ def subm_conv_windowed(feats, weights, rb_local, win_base,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(win_base, rb_local, f_pad, weights.astype(compute_dtype))
+    )(win_base.reshape(-1), rb_local, f_pad, weights.astype(compute_dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "tile", "window"))
@@ -177,22 +206,21 @@ def subm_dw_windowed(feats, dout, rb_local, win_base,
     cin = _pad128(cin_in)
     f = feats.astype(compute_dtype)
     f_pad = jnp.zeros((m + window, cin), compute_dtype).at[:m, :cin_in].set(f)
-    grid_spec = pl.GridSpec(
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 9), lambda t: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3 * tile, 9), lambda t: (t, 0),
+            pl.BlockSpec((3 * tile, 9), lambda t, base: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((tile, cout), lambda t: (t, 0),
+            pl.BlockSpec((tile, cout), lambda t, base: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((27, cin, cout), lambda t: (0, 0, 0),
+        out_specs=pl.BlockSpec((27, cin, cout), lambda t, base: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((9, window, cin), compute_dtype),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, 9, window, cin), compute_dtype),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     dw = pl.pallas_call(
@@ -202,5 +230,5 @@ def subm_dw_windowed(feats, dout, rb_local, win_base,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(win_base, rb_local, f_pad, dout)
+    )(win_base.reshape(-1), rb_local, f_pad, dout)
     return dw[:, :cin_in, :]

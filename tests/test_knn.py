@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -161,10 +162,38 @@ def test_cluster_knn_hierarchical_topk_bit_identical(rng):
     pts = rng.normal(size=(n, 3)).astype(np.float32)
     pts[200:260] = pts[0:60]  # exact duplicates -> distance ties
     cid = rng.integers(0, 3, size=n).astype(np.int32)
-    kw = dict(k=k, row_block=64, window=256)
+    kw = dict(k=k, row_block=64, window=256, topk_method="flat")
     flat = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid),
                                   topk_chunk=None, **kw))
     for chunk in (64, 128, 100):  # incl. a non-divisor of the window width
         hier = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid),
                                       topk_chunk=chunk, **kw))
         np.testing.assert_array_equal(flat, hier, err_msg=f"chunk={chunk}")
+
+
+def test_cluster_knn_iter_min_topk_bit_identical(rng):
+    """The default iter-min exact top-k must return bit-identical indices to
+    the flat lax.top_k path — same values AND same tie ordering (argmin's
+    first-minimum == top_k's ascending-index-among-equals). Duplicated
+    points force real distance ties; a tiny cluster exercises the
+    self-index fill."""
+    from seggroup_tpu.ops.knn import _iter_min_topk
+
+    n, k = 512, 8
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[200:260] = pts[0:60]  # exact duplicates -> distance ties
+    cid = rng.integers(0, 3, size=n).astype(np.int32)
+    cid[:4] = 9  # a 4-member cluster (< k) -> self-fill path
+    kw = dict(k=k, row_block=64, window=256)
+    flat = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid),
+                                  topk_method="flat", **kw))
+    fast = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid),
+                                  topk_method="iter_min", **kw))
+    np.testing.assert_array_equal(flat, fast)
+
+    # raw-op equivalence incl. value ordering on a tied matrix
+    d = rng.integers(0, 5, size=(16, 64)).astype(np.float32)
+    want_v, want_i = jax.lax.top_k(-jnp.asarray(d), 6)
+    got_v, got_i = _iter_min_topk(jnp.asarray(d), 6)
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+    np.testing.assert_array_equal(np.asarray(want_v), np.asarray(got_v))

@@ -19,6 +19,15 @@ if os.environ.get("SEGGROUP_TPU_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SEGGROUP_TPU_PLATFORM"])
 
+# stage-1 runs at reference f32 semantics: TPU's DEFAULT matmul precision is
+# one bf16 MXU pass, whose error perturbs the GNN features feeding the
+# grouping THRESHOLD comparisons (dist <= th) that the bit-faithfulness
+# contract rests on (reference model.py:218-226 runs true f32 CUDA). The
+# stage-1 model is 0.15 M params — HIGHEST costs nothing measurable here.
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from seggroup_tpu.ops.knn import ball_query_pair
+from seggroup_tpu.ops.knn import ball_query_pair, ball_query_pair_fast
 from seggroup_tpu.ops.segment_ops import segment_mean
 
 # ---------------------------------------------------------------------------
@@ -228,7 +228,7 @@ def build_pyramid(
     caps = level_caps or [max(256, n0 >> i) for i in range(1, num_layers + 1)]
     for layer in range(num_layers):
         r = dl * conv_radius
-        nbrs, _, over = ball_query_pair(
+        nbrs, _, over = ball_query_pair_fast(
             cur_p, cur_b, cur_v, cur_p, cur_b, cur_v, r,
             max_neighbors=nbr_caps[layer], bucket_cap=bucket_cap,
         )
@@ -244,7 +244,7 @@ def build_pyramid(
                                  method="sorted")  # barycenters
             nxt_b = vm.voxel_coords[:, 0]
             nxt_v = vm.voxel_valid
-            pools, _, _ = ball_query_pair(
+            pools, _, _ = ball_query_pair_fast(
                 cur_p, cur_b, cur_v, nxt_p, nxt_b, nxt_v, r,
                 max_neighbors=nbr_caps[layer], bucket_cap=bucket_cap,
             )

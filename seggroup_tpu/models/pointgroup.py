@@ -161,6 +161,9 @@ class PointGroup(nn.Module):
     max_proposals_per_source: int = 128
     score_cap: int = 8192
     level_caps: Sequence[int] | None = None
+    # Perf-probe knobs (bisect the train-step backward; not training config):
+    score_stop_gradient: bool = False  # detach point_feats into the score branch
+    skip_score_unet: bool = False      # bypass the ScoreNet UBlock
 
     @nn.compact
     def __call__(
@@ -293,15 +296,19 @@ class PointGroup(nn.Module):
 
         vmap_s = voxelize(icoords, jnp.where(fv, flat_prop, p_total),
                           fv, self.score_cap)
-        flat_feats = point_feats[flat_pt]
+        pf_s = (jax.lax.stop_gradient(point_feats)
+                if self.score_stop_gradient else point_feats)
+        flat_feats = pf_s[flat_pt]
         sv_feats = segment_mean(
             jnp.where(fv[:, None], flat_feats, 0.0), vmap_s.point2voxel,
             self.score_cap, method="sorted",
         )
         st_score = SparseTensor(vmap_s.voxel_coords, sv_feats,
                                 vmap_s.voxel_valid, vmap_s.num_voxels)
-        st_score = UBlock([m, 2 * m], 2, [self.score_cap, self.score_cap // 2],
-                          name="score_unet")(st_score, train)
+        if not self.skip_score_unet:
+            st_score = UBlock([m, 2 * m], 2,
+                              [self.score_cap, self.score_cap // 2],
+                              name="score_unet")(st_score, train)
         hs = SparseBatchNorm(0.1, 1e-4, name="score_bn")(
             st_score.feats, st_score.valid, train
         )

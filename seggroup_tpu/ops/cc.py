@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from seggroup_tpu.ops.segment_ops import segment_sum
+from seggroup_tpu.ops.segment_sorted import segment_min as _segment_min
 
 __all__ = [
     "connected_components",
@@ -45,21 +46,33 @@ def connected_components(
     mask = nbr_valid & point_valid[:, None] & point_valid[neighbors]
 
     def body(carry):
-        label, _changed = carry
+        label, _changed, it = carry
         nbr_lab = jnp.where(mask, label[neighbors], jnp.int32(n))
         new = jnp.minimum(label, jnp.min(nbr_lab, axis=1))
         # reverse direction: push our label onto our neighbors (scatter-min)
         push = jnp.where(mask, jnp.broadcast_to(label[:, None], mask.shape), n)
         new = new.at[neighbors.reshape(-1)].min(push.reshape(-1))
+        # hook: every provisional component (rows sharing the OLD label)
+        # collectively adopts its members' best discovery this sweep —
+        # Shiloach-Vishkin-style hooking turns O(component diameter) rounds
+        # into near-logarithmic ones (same trick as the windowed CC's
+        # _cc_loop, pallas_cc.py). Converges to the same unique fixpoint
+        # (min index per component): hooking only ever adopts labels already
+        # reachable through the component, so no partition change.
+        grp = _segment_min(new, jnp.where(point_valid, label, -1), n + 1,
+                           fill_value=jnp.int32(n))
+        new = jnp.minimum(new, grp[jnp.minimum(label, n)])
         # pointer jumping: adopt the label of our current representative
-        new = jnp.minimum(new, label[jnp.minimum(new, n - 1)])
+        for _ in range(2):
+            new = jnp.minimum(new, new[jnp.minimum(new, n - 1)])
         new = jnp.where(point_valid, new, jnp.int32(n))
-        return new, jnp.any(new != label)
+        return new, jnp.any(new != label), it + 1
 
     def cond(carry):
-        return carry[1]
+        return carry[1] & (carry[2] < max_iters)
 
-    label, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))
+    label, _, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.array(True), jnp.int32(0)))
     return label
 
 

@@ -535,10 +535,14 @@ def group_unlabeled_clusters(
         dmin = carry
         p = jax.lax.dynamic_slice(pts_p, (i * blk, 0), (blk, 3))
         cid = jax.lax.dynamic_slice(p2r_p, (i * blk,), (blk,))
-        # (S, blk) distances centroid_i -> point
+        # (S, blk) distances centroid_i -> point. HIGHEST is load-bearing:
+        # TPU DEFAULT matmul precision is one bf16 pass whose O(|x||y|*2^-8)
+        # cross-term error swamps metric-scale distance comparisons (see
+        # ops/knn.py pairwise_sqdist)
         d = (
             jnp.sum(centroid * centroid, axis=1, keepdims=True)
-            - 2.0 * centroid @ p.T
+            - 2.0 * jnp.dot(centroid, p.T,
+                            precision=jax.lax.Precision.HIGHEST)
             + jnp.sum(p * p, axis=1)[None, :]
         )
         upd = segment_min(d.T, cid, s, fill_value=jnp.float32(1e30)).T  # (S, S)

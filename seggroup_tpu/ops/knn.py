@@ -36,6 +36,9 @@ __all__ = [
     "masked_knn",
     "cluster_knn",
     "ball_query",
+    "ball_query_pair",
+    "ball_query_pair_windowed",
+    "ball_query_pair_fast",
     "grid_hash",
     "morton3d",
 ]
@@ -76,10 +79,19 @@ def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
     """Squared euclidean distances, (..., N, D) x (..., M, D) -> (..., N, M).
 
     Uses the |x|^2 - 2<x,y> + |y|^2 expansion so the cross term is a single
-    MXU matmul (same algebra as reference seggroup/model.py:31-33)."""
+    MXU matmul (same algebra as reference seggroup/model.py:31-33).
+
+    precision=HIGHEST is load-bearing: TPU's DEFAULT matmul precision runs
+    f32 inputs through one bf16 MXU pass, whose absolute error on the cross
+    term is O(|x||y| * 2^-8) — ~1.0 for meter-scale scene coords (measured
+    on v5e), swamping centimeter-scale radius/neighbor comparisons. HIGHEST
+    (bf16x6) restores ~f32 accuracy (measured 5e-5) at trivial cost here
+    (D=3 contractions are negligible FLOPs next to the downstream top-k)."""
     xx = jnp.sum(x * x, axis=-1, keepdims=True)
     yy = jnp.sum(y * y, axis=-1, keepdims=True)
-    cross = jnp.einsum("...nd,...md->...nm", x, y, preferred_element_type=jnp.float32)
+    cross = jnp.einsum("...nd,...md->...nm", x, y,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     d = xx - 2.0 * cross + jnp.swapaxes(yy, -1, -2)
     return jnp.maximum(d, 0.0)
 
@@ -178,7 +190,8 @@ def _iter_min_topk(d: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 
 
 @partial(jax.jit, static_argnames=("k", "row_block", "col_block", "window",
-                                   "approx", "topk_chunk", "topk_method"))
+                                   "approx", "topk_chunk", "topk_method",
+                                   "small_window"))
 def cluster_knn(
     points: jax.Array,
     cluster_ids: jax.Array,
@@ -190,6 +203,7 @@ def cluster_knn(
     valid: jax.Array | None = None,
     topk_chunk: int | None = None,
     topk_method: str = "iter_min",
+    small_window: int | None = None,
 ) -> jax.Array:
     """Per-point kNN restricted to points sharing `cluster_ids` (self included).
 
@@ -215,9 +229,24 @@ def cluster_knn(
     `valid` (optional, (N,) bool) masks padding rows out of the Morton
     bounding box — garbage pad coordinates would otherwise blow up the
     quantization range and collapse real points into few Morton cells,
-    destroying the spatial locality the centered window relies on."""
+    destroying the spatial locality the centered window relies on.
+
+    `small_window`: tiered fast path. Stage-1 clusters average a few hundred
+    points while `window` must budget for the largest (reference get_knn is
+    per-cluster, model.py:512-522) — so most row blocks' true candidate span
+    (first row's cluster start to last row's cluster end) is far under the
+    window. Each block checks its span with two scalar searchsorteds and
+    takes a `small_window` slice when everything fits (lax.cond inside the
+    sequential lax.map — a real branch, not a select). Bit-exact: when the
+    small window covers every row's whole cluster, the masked candidate set,
+    its column order, and the d values (length-3 contraction, no reduction-
+    order freedom) are identical to the big window's. None = auto (window//4
+    when window >= 4096); 0 disables."""
     N, D = points.shape
     assert N % row_block == 0, "pad N to a multiple of row_block"
+    if small_window is None:
+        small_window = window // 4 if window >= 4096 else 0
+    small_window = 0 if small_window >= window else small_window
 
     # two-key stable sort: cluster id major, Morton code minor
     m_order = jnp.argsort(morton3d(points, valid), stable=True).astype(jnp.int32)
@@ -250,32 +279,57 @@ def cluster_knn(
         c0 = jnp.searchsorted(
             s_cid[:N], rows_cid[0], side="left"
         ).astype(jnp.int32)
-        w0 = jnp.maximum(c0, jnp.int32(r0) - jnp.int32(window // 2))
-        cols = jax.lax.dynamic_slice(s_pts, (w0, 0), (w, D))
-        cols_cid = jax.lax.dynamic_slice(s_cid, (w0,), (w,))
-        # one MXU matmul + one top-k over the whole window (measured ~3x
-        # faster than a col-block scan with running-merge top-ks on v5e)
-        d = pairwise_sqdist(rows, cols)  # (row_block, w)
-        same = rows_cid[:, None] == cols_cid[None, :]
-        d = jnp.where(same, d, big)
-        if approx:
-            # TPU-native approximate top-k (lax.approx_max_k): may
-            # miss/duplicate a tail neighbor — opt-in fast path, NOT used
-            # when reference parity matters
-            neg_d, bi = jax.lax.approx_max_k(-d, k, recall_target=0.95)
-        elif topk_method == "iter_min":
-            # exact k-round min extraction — identical values and tie order
-            # to lax.top_k, ~3x faster at k=20 on v5e (see _iter_min_topk)
-            neg_d, bi = _iter_min_topk(d, k)
-        else:
-            # exact, hierarchical (identical values AND tie-breaks to the
-            # flat lax.top_k — see _exact_topk_neg)
-            neg_d, bi = _exact_topk_neg(d, k, topk_chunk)
-        best_i = (bi + w0).astype(jnp.int32)
-        # rows with < k same-cluster candidates: fall back to self
-        self_sorted = (r0 + jnp.arange(row_block, dtype=jnp.int32))[:, None]
-        best_i = jnp.where(neg_d <= -big, self_sorted, best_i)
-        return best_i
+
+        def topk_block(w0, width):
+            cols = jax.lax.dynamic_slice(s_pts, (w0, 0), (width, D))
+            cols_cid = jax.lax.dynamic_slice(s_cid, (w0,), (width,))
+            # one MXU matmul + one top-k over the whole window (measured ~3x
+            # faster than a col-block scan with running-merge top-ks on v5e)
+            d = pairwise_sqdist(rows, cols)  # (row_block, width)
+            same = rows_cid[:, None] == cols_cid[None, :]
+            d = jnp.where(same, d, big)
+            if approx:
+                # TPU-native approximate top-k (lax.approx_max_k): may
+                # miss/duplicate a tail neighbor — opt-in fast path, NOT used
+                # when reference parity matters
+                neg_d, bi = jax.lax.approx_max_k(-d, k, recall_target=0.95)
+            elif topk_method == "iter_min":
+                # exact k-round min extraction — identical values and tie
+                # order to lax.top_k, ~3x faster at k=20 on v5e
+                # (see _iter_min_topk)
+                neg_d, bi = _iter_min_topk(d, k)
+            else:
+                # exact, hierarchical (identical values AND tie-breaks to the
+                # flat lax.top_k — see _exact_topk_neg)
+                neg_d, bi = _exact_topk_neg(d, k, topk_chunk)
+            best_i = (bi + w0).astype(jnp.int32)
+            # rows with < k same-cluster candidates: fall back to self
+            self_sorted = (r0 + jnp.arange(row_block, dtype=jnp.int32))[:, None]
+            return jnp.where(neg_d <= -big, self_sorted, best_i)
+
+        def big_branch(_):
+            w0 = jnp.maximum(c0, jnp.int32(r0) - jnp.int32(window // 2))
+            return topk_block(w0, w)
+
+        if not small_window:
+            return big_branch(None)
+
+        # tiered fast path: if every row's whole cluster fits in the small
+        # window, the small slice is bit-identical to the big one (superset
+        # candidates are all masked out) at a fraction of the top-k cost.
+        # Left coverage must be exact too: the small tier only fires when its
+        # centered start clamps to c0 (otherwise a cluster extending far
+        # before the block would lose left candidates the big window keeps)
+        c_end = jnp.searchsorted(
+            s_cid[:N], rows_cid[-1], side="right"
+        ).astype(jnp.int32)
+        w0s = jnp.maximum(c0, jnp.int32(r0) - jnp.int32(small_window // 2))
+        fits = (w0s == c0) & (
+            (c_end - c0) <= jnp.int32(row_block + small_window))
+        return jax.lax.cond(
+            fits,
+            lambda _: topk_block(w0s, row_block + small_window),
+            big_branch, None)
 
     knn_sorted = jax.lax.map(do_row_block, jnp.arange(n_row_blocks))
     knn_sorted = knn_sorted.reshape(N, k)
@@ -357,12 +411,16 @@ def ball_query_pair(
     # true cell occupancy: candidates beyond bucket_cap are never gathered
     # and must still trip the overflow flag (they may be in-radius)
     bucket_overflow = jnp.any((stop - start) > bucket_cap, axis=1) & query_valid
-    slots = (start[:, :, None] + jnp.arange(bucket_cap)[None, None, :]
-             ).reshape(nq, 27 * bucket_cap)
-    slots = jnp.minimum(slots, ns - 1)
+    slots_raw = (start[:, :, None] + jnp.arange(bucket_cap)[None, None, :]
+                 ).reshape(nq, 27 * bucket_cap)
+    # the end-clamp would alias past-the-end slots onto row ns-1, whose key
+    # EQUALS nb_key whenever the stencil includes the globally-last cell —
+    # duplicating that support row (only observable with zero padding rows,
+    # since padding's intmax key otherwise sits at ns-1)
+    slots = jnp.minimum(slots_raw, ns - 1)
     nb_key_flat = jnp.broadcast_to(
         nb_key[:, :, None], (nq, 27, bucket_cap)).reshape(nq, 27 * bucket_cap)
-    cand_ok = s_key_sorted[slots] == nb_key_flat
+    cand_ok = (s_key_sorted[slots] == nb_key_flat) & (slots_raw < ns)
     cand_idx = order[slots]
 
     # per-axis gathered differences (see ball_query: a fused (Nq, 27*cap, 3)
@@ -382,6 +440,166 @@ def ball_query_pair(
     nbrs = jnp.where(got, nbrs, jnp.int32(ns))  # shadow index
     overflow = (jnp.sum(in_ball, axis=1).astype(jnp.int32) > K) | bucket_overflow
     return nbrs, counts, overflow
+
+
+@partial(jax.jit, static_argnames=("max_neighbors", "tile", "window"))
+def ball_query_pair_windowed(
+    support: jax.Array,
+    support_batch: jax.Array,
+    support_valid: jax.Array,
+    queries: jax.Array,
+    query_batch: jax.Array,
+    query_valid: jax.Array,
+    radius: float | jax.Array,
+    max_neighbors: int = 32,
+    tile: int = 256,
+    window: int = 4096,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Windowed-sorted formulation of ball_query_pair — same results, no
+    random-row gathers.
+
+    ball_query_pair's cost on TPU is its (Nq, 27*cap) candidate gathers and
+    its 27-key searchsorted: both lower to random scalar-row fetches at well
+    under 1 GB/s effective (measured r3: 2.8 s of a 4.0 s level-0 KPConv
+    query at 131k points). Here queries are processed in CELL-KEY-SORTED
+    order, so each tile of `tile` queries' whole 27-cell stencil lies in ONE
+    contiguous range of the (sorted) support rows: one scalar searchsorted
+    pair per tile locates it, one dynamic_slice pulls a (window, .) slab,
+    and a (tile, window) MXU distance matrix + radius/batch masks + the
+    k-round min-extraction replace all per-candidate bookkeeping. Exact by
+    the stencil-containment argument (cell == radius: every in-radius
+    support is inside the 27-cell key range, which the tile window covers;
+    out-of-stencil window rows fail the distance test).
+
+    Returns (neighbors (Nq,K) into support == Ns for empty, counts,
+    overflow, window_overflow_any). `window_overflow_any` is a traced scalar
+    — True when some tile's stencil range exceeded `window` (adversarial
+    density skew); the caller must then fall back to the exact
+    ball_query_pair (see ball_query_pair_fast)."""
+    ns = support.shape[0]
+    nq = queries.shape[0]
+    K = max_neighbors
+    radius = jnp.float32(radius)
+    cell = radius
+    big_key = jnp.iinfo(jnp.int32).max
+
+    s_cells = grid_hash(support, cell)
+    q_cells = grid_hash(queries, cell)
+    cmin = jnp.minimum(
+        jnp.min(jnp.where(support_valid[:, None], s_cells, 2**30), axis=0),
+        jnp.min(jnp.where(query_valid[:, None], q_cells, 2**30), axis=0),
+    )
+    s_cells = s_cells - cmin + 1
+    q_cells = q_cells - cmin + 1
+    cmax = jnp.maximum(
+        jnp.max(jnp.where(support_valid[:, None], s_cells, 0), axis=0),
+        jnp.max(jnp.where(query_valid[:, None], q_cells, 0), axis=0),
+    )
+    dims = cmax + 2
+    span = dims[0] * dims[1] * dims[2]
+    # stencil key extremes: off_key(dx,dy,dz) = (dx*d1 + dy)*d2 + dz
+    off_max = (dims[1] + 1) * dims[2] + 1
+    off_min = -off_max
+
+    s_key = _cell_key(s_cells, dims) + support_batch.astype(jnp.int32) * span
+    s_key = jnp.where(support_valid, s_key, big_key)
+    q_key = _cell_key(q_cells, dims) + query_batch.astype(jnp.int32) * span
+    q_key = jnp.where(query_valid, q_key, big_key)
+
+    order_s = jnp.argsort(s_key).astype(jnp.int32)
+    sk = s_key[order_s]
+    # sorted + window-padded support columns (pad rows: key MAX, far coords)
+    pad_xyz = jnp.full((window, 3), jnp.float32(3e38))
+    sxyz = jnp.concatenate([support[order_s], pad_xyz])
+    sb = jnp.concatenate(
+        [support_batch[order_s].astype(jnp.int32),
+         jnp.full((window,), -1, jnp.int32)])
+    skp = jnp.concatenate([sk, jnp.full((window,), big_key, jnp.int32)])
+    ord_pad = jnp.concatenate(
+        [order_s, jnp.full((window,), ns, jnp.int32)])
+
+    order_q = jnp.argsort(q_key, stable=True).astype(jnp.int32)
+    nq_pad = -(-nq // tile) * tile
+    qpad = nq_pad - nq
+    qk = jnp.concatenate([q_key[order_q], jnp.full((qpad,), big_key,
+                                                   jnp.int32)])
+    qxyz = jnp.concatenate([queries[order_q], jnp.zeros((qpad, 3))])
+    qb = jnp.concatenate([query_batch[order_q].astype(jnp.int32),
+                          jnp.full((qpad,), -2, jnp.int32)])
+    qv = jnp.concatenate([query_valid[order_q], jnp.zeros((qpad,), bool)])
+
+    big = jnp.float32(1e30)
+
+    def do_tile(t):
+        q0 = t * tile
+        qk_t = jax.lax.dynamic_slice(qk, (q0,), (tile,))
+        qxyz_t = jax.lax.dynamic_slice(qxyz, (q0, 0), (tile, 3))
+        qb_t = jax.lax.dynamic_slice(qb, (q0,), (tile,))
+        qv_t = jax.lax.dynamic_slice(qv, (q0,), (tile,))
+        real = qk_t != big_key
+        lo_key = qk_t[0] + off_min  # sorted tile: first is min
+        hi_key = jnp.max(jnp.where(real, qk_t, -(2**30))) + off_max
+        w0 = jnp.searchsorted(sk, lo_key, side="left").astype(jnp.int32)
+        w_end = jnp.searchsorted(sk, hi_key, side="right").astype(jnp.int32)
+        ovf_t = (w_end - w0) > window
+
+        win_xyz = jax.lax.dynamic_slice(sxyz, (w0, 0), (window, 3))
+        win_key = jax.lax.dynamic_slice(skp, (w0,), (window,))
+        win_b = jax.lax.dynamic_slice(sb, (w0,), (window,))
+        # per-axis differences, NOT the Gram-expansion matmul: bit-matches
+        # the exact ball_query_pair's formulation (knn.py:373-376), and VPU
+        # f32 subtract/square has none of the MXU bf16-pass cross-term error
+        # that broke radius tests at meter-scale coords (measured ~1.0
+        # absolute on v5e before this change — 178/200 wrong counts)
+        d = jnp.zeros((tile, window), jnp.float32)
+        for c in range(3):
+            dc = qxyz_t[:, c][:, None] - win_xyz[:, c][None, :]
+            d = d + dc * dc
+        ok = ((win_key[None, :] != big_key)
+              & (qb_t[:, None] == win_b[None, :])
+              & qv_t[:, None] & (d <= radius * radius))
+        d = jnp.where(ok, d, big)
+        neg_d, sel = _iter_min_topk(d, K)
+        got = neg_d > -big
+        orig = jax.lax.dynamic_slice(ord_pad, (w0,), (window,))[sel]
+        nbrs = jnp.where(got, orig, jnp.int32(ns))
+        counts = jnp.sum(got, axis=1).astype(jnp.int32)
+        over = ((jnp.sum(ok, axis=1) > K) | ovf_t) & qv_t
+        return nbrs, counts, over, ovf_t
+
+    nbrs, counts, over, ovf = jax.lax.map(
+        do_tile, jnp.arange(nq_pad // tile, dtype=jnp.int32))
+    nbrs = nbrs.reshape(nq_pad, K)[:nq]
+    counts = counts.reshape(nq_pad)[:nq]
+    over = over.reshape(nq_pad)[:nq]
+    # rows are in sorted-query order (pad tiles are the tail); one inverse
+    # gather restores the original order
+    inv = invert_permutation(order_q)
+    return nbrs[inv], counts[inv], over[inv], jnp.any(ovf)
+
+
+def ball_query_pair_fast(
+    support, support_batch, support_valid, queries, query_batch, query_valid,
+    radius, max_neighbors: int = 32, bucket_cap: int = 16,
+    tile: int = 256, window: int = 4096,
+):
+    """ball_query_pair semantics via the windowed path, with a lax.cond
+    fallback to the exact 27-cell/bucket path when a tile's stencil range
+    overflows `window`. Drop-in for build_pyramid's hot queries."""
+
+    nbrs_w, counts_w, over_w, any_ovf = ball_query_pair_windowed(
+        support, support_batch, support_valid, queries, query_batch,
+        query_valid, radius, max_neighbors=max_neighbors, tile=tile,
+        window=window)
+
+    def fallback(_):
+        return ball_query_pair(
+            support, support_batch, support_valid, queries, query_batch,
+            query_valid, radius, max_neighbors=max_neighbors,
+            bucket_cap=bucket_cap)
+
+    return jax.lax.cond(
+        any_ovf, fallback, lambda _: (nbrs_w, counts_w, over_w), None)
 
 
 @partial(jax.jit, static_argnames=("max_neighbors", "bucket_cap"))
@@ -458,12 +676,13 @@ def ball_query(
         # gathered, possibly in-radius) still trip the overflow flag
         b_over = jnp.any((stop - start) > bucket_cap, axis=1) & qvalid
         b = bkey.shape[0]
-        slots = (start[:, :, None] + jnp.arange(bucket_cap)[None, None, :]
-                 ).reshape(b, cw)
-        slots = jnp.minimum(slots, N - 1)
+        slots_raw = (start[:, :, None] + jnp.arange(bucket_cap)[None, None, :]
+                     ).reshape(b, cw)
+        # see ball_query_pair: past-the-end slots must not alias row N-1
+        slots = jnp.minimum(slots_raw, N - 1)
         nb_key_flat = jnp.broadcast_to(
             nb_key[:, :, None], (b, 27, bucket_cap)).reshape(b, cw)
-        cand_ok = s_key[slots] == nb_key_flat
+        cand_ok = (s_key[slots] == nb_key_flat) & (slots_raw < N)
         cand_idx = order[slots]
         # per-axis gathered differences: a fused (B, 27*cap, 3) gather would
         # be materialized as f32[B*27*cap, 3] whose trailing dim pads to 128

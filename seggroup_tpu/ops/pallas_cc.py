@@ -149,11 +149,21 @@ def _prep(coords, radius, batch_ids, valid, semantics, tile, window):
     cmin = jnp.min(jnp.where(valid[:, None], cells, 2 ** 30), axis=0)
     cells = cells - cmin + 1
     cmax = jnp.max(jnp.where(valid[:, None], cells, 0), axis=0)
+    # invalid rows' cells are garbage after the shift (up to ±2^30 when no
+    # valid point bounds an axis); their keys are replaced below, but keep
+    # the intermediate arithmetic in-range
+    cells = jnp.clip(cells, 0, jnp.maximum(cmax, 1))
     dims = cmax + 2
+    # clamp tiny grids up to the alias-safety floor instead of falling back:
+    # the key-delta alias argument needs >= 5 cells/axis (aliased cells are
+    # then >= dims-3 >= 2 cells > radius apart); padding empty key space
+    # costs nothing, and a DEGENERATE problem (few/no valid points — e.g.
+    # PointGroup before the semantic head predicts objects) would otherwise
+    # pay the full exact-fallback sweep at every step
+    dims = jnp.maximum(dims, 5)
     nb = jnp.max(jnp.where(valid, batch_ids, 0)) + 1
 
-    # int32 key-range guard (float headroom flags overflow safely) + the
-    # grid must be big enough that key-delta aliases are beyond the radius
+    # int32 key-range guard (float headroom flags overflow safely)
     prodf = (dims[0].astype(jnp.float32) * dims[1].astype(jnp.float32)
              * dims[2].astype(jnp.float32) * nb.astype(jnp.float32))
     # the sweep's two-piece f32 key-delta test is only exact near `off`
@@ -163,7 +173,7 @@ def _prep(coords, radius, batch_ids, valid, semantics, tile, window):
     # true dz=±1 edge could fail `delta <= off + 1`
     off_mag = (dims[1].astype(jnp.float32) * dims[2].astype(jnp.float32)
                + dims[2].astype(jnp.float32))
-    ok_range = ((prodf < jnp.float32(2 ** 30)) & jnp.all(dims >= 5)
+    ok_range = ((prodf < jnp.float32(2 ** 30))
                 & (off_mag + 2.0 < jnp.float32(2 ** 22)))
 
     key = ((batch_ids * dims[0] + cells[:, 0]) * dims[1]

@@ -197,3 +197,119 @@ def test_cluster_knn_iter_min_topk_bit_identical(rng):
     got_v, got_i = _iter_min_topk(jnp.asarray(d), 6)
     np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
     np.testing.assert_array_equal(np.asarray(want_v), np.asarray(got_v))
+
+
+def test_ball_query_no_padding_no_duplicate_last_row(rng):
+    """With ZERO padding rows, a stencil bucket running past the end of the
+    sorted array used to clamp onto row N-1 whose key still matched —
+    double-counting the globally-last support point. Counts must equal the
+    brute-force oracle and neighbor lists must be duplicate-free."""
+    from seggroup_tpu.ops.knn import ball_query, ball_query_pair
+
+    n, r = 512, 0.3
+    pts = (rng.random((n, 3)) * 2.0).astype(np.float32)
+    b = np.zeros(n, np.int32)
+    v = np.ones(n, bool)  # all valid: nothing shields the end-clamp
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    want = (d2 <= np.float32(r) ** 2).sum(1)
+
+    nb, cnt, ovf = ball_query(jnp.asarray(pts), r, jnp.asarray(b),
+                              jnp.asarray(v), max_neighbors=64,
+                              bucket_cap=64)
+    np.testing.assert_array_equal(np.asarray(cnt), want)
+    nb = np.asarray(nb)
+    for i in range(n):
+        row = nb[i, :cnt[i]]
+        assert len(set(row)) == len(row), i
+
+    nbp, cntp, _ = ball_query_pair(
+        jnp.asarray(pts), jnp.asarray(b), jnp.asarray(v),
+        jnp.asarray(pts), jnp.asarray(b), jnp.asarray(v), r,
+        max_neighbors=64, bucket_cap=64)
+    np.testing.assert_array_equal(np.asarray(cntp), want)
+    nbp = np.asarray(nbp)
+    for i in range(n):
+        row = nbp[i, :cntp[i]]
+        assert len(set(row)) == len(row), i
+
+
+def test_ball_query_pair_windowed_matches_exact(rng):
+    """The windowed sorted formulation must return the same neighbor SETS,
+    counts, and K-truncation flags as the exact 27-cell path (neighbor order
+    is nearest-first in both; sets compared to be tie-robust)."""
+    from seggroup_tpu.ops.knn import ball_query_pair, ball_query_pair_windowed
+
+    ns, nq, r = 700, 300, 0.22
+    sup = (rng.random((ns, 3)) * 3.0).astype(np.float32)
+    qry = (rng.random((nq, 3)) * 3.0).astype(np.float32)
+    sb = rng.integers(0, 2, ns).astype(np.int32)
+    qb = rng.integers(0, 2, nq).astype(np.int32)
+    sv = rng.random(ns) < 0.9
+    qv = rng.random(nq) < 0.9
+    kw = dict(max_neighbors=24)
+    n1, c1, o1 = ball_query_pair(jnp.asarray(sup), jnp.asarray(sb),
+                                 jnp.asarray(sv), jnp.asarray(qry),
+                                 jnp.asarray(qb), jnp.asarray(qv), r,
+                                 bucket_cap=64, **kw)
+    n2, c2, o2, ovf = ball_query_pair_windowed(
+        jnp.asarray(sup), jnp.asarray(sb), jnp.asarray(sv), jnp.asarray(qry),
+        jnp.asarray(qb), jnp.asarray(qv), r, tile=64, window=1024, **kw)
+    assert not bool(ovf)
+    n1, c1, n2, c2 = (np.asarray(x) for x in (n1, c1, n2, c2))
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    for i in range(nq):
+        assert set(n1[i, :c1[i]]) == set(n2[i, :c2[i]]), i
+        assert (n2[i, c2[i]:] == ns).all()
+
+
+def test_ball_query_pair_fast_fallback_on_window_overflow(rng):
+    """A tiny window forces the stencil range past `window`; the fast
+    wrapper's cond must take the exact path and still be right."""
+    from seggroup_tpu.ops.knn import ball_query_pair, ball_query_pair_fast, \
+        ball_query_pair_windowed
+
+    n, r = 600, 0.15
+    pts = (rng.random((n, 3)) * 1.2).astype(np.float32)  # dense: big stencil
+    b = np.zeros(n, np.int32)
+    v = np.ones(n, bool)
+    args = (jnp.asarray(pts), jnp.asarray(b), jnp.asarray(v)) * 2 + (r,)
+    _, _, _, ovf = ball_query_pair_windowed(*args, max_neighbors=16,
+                                            tile=64, window=64)
+    assert bool(ovf)
+    nf, cf, of = ball_query_pair_fast(*args, max_neighbors=16,
+                                      bucket_cap=64, tile=64, window=64)
+    ne, ce, oe = ball_query_pair(*args, max_neighbors=16, bucket_cap=64)
+    nf, cf, ne, ce = (np.asarray(x) for x in (nf, cf, ne, ce))
+    np.testing.assert_array_equal(cf, ce)
+    for i in range(n):
+        assert set(nf[i, :cf[i]]) == set(ne[i, :ce[i]]), i
+
+
+def test_cluster_knn_tiered_small_window_bit_identical(rng):
+    """small_window tier must be BIT-identical to the untiered call — both
+    when blocks fit the small tier and when a big cluster forces the big
+    branch (mixed per-block branching inside one call)."""
+    n, k = 4096, 8
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    # many small clusters + one big one (spans > small window after sort)
+    cid = rng.integers(0, 200, size=n).astype(np.int32)
+    cid[:1500] = 1000  # one 1500-pt cluster
+    base = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid), k=k,
+                                  row_block=256, window=2048, small_window=0))
+    tier = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid), k=k,
+                                  row_block=256, window=2048,
+                                  small_window=512))
+    np.testing.assert_array_equal(base, tier)
+
+
+def test_cluster_knn_tiered_auto_default(rng):
+    """window >= 4096 auto-enables the window//4 tier; results unchanged."""
+    n, k = 8192, 5
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cid = rng.integers(0, 64, size=n).astype(np.int32)
+    base = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid), k=k,
+                                  row_block=512, window=4096, small_window=0))
+    auto = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid), k=k,
+                                  row_block=512, window=4096))
+    np.testing.assert_array_equal(base, auto)

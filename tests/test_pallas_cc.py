@@ -70,7 +70,7 @@ def test_windowed_cc_matches_oracle(rng):
         jnp.asarray(valid), jnp.asarray(sem), return_use_window=True)
     assert bool(use_window)
     lab = np.asarray(lab)
-    want = oracle_labels(coords, 0.12, batch, sem, valid)
+    want = oracle_labels(coords, 0.12, batch, valid, sem)
     np.testing.assert_array_equal(lab[valid], want[valid])  # canonical ==
     assert (lab[~valid] == len(coords)).all()
 
@@ -126,7 +126,7 @@ def test_window_overflow_falls_back(rng):
         max_neighbors_fallback=128, return_use_window=True)
     assert not bool(use_window)
     out = np.asarray(out)
-    want = oracle_labels(coords, 0.12, batch, sem, valid)
+    want = oracle_labels(coords, 0.12, batch, valid, sem)
     assert same_partition(out, want, valid)
 
 
@@ -135,7 +135,7 @@ def test_non_tile_multiple_uses_fallback(rng):
     out = np.asarray(semantic_radius_cc(
         jnp.asarray(coords), jnp.float32(0.12), jnp.asarray(batch),
         jnp.asarray(valid), jnp.asarray(sem), max_neighbors_fallback=128))
-    want = oracle_labels(coords, 0.12, batch, sem, valid)
+    want = oracle_labels(coords, 0.12, batch, valid, sem)
     assert same_partition(out, want, valid)
     assert (out[~valid] == 1000).all()
 
@@ -195,3 +195,31 @@ def test_fused_dual_cc_fallback_split(rng):
     np.testing.assert_array_equal(
         np.where(lb < n, lb, -1),
         np.where(lab2[n:] < 2 * n, lab2[n:] - n, -1))
+
+
+def test_degenerate_valid_set_stays_windowed(rng):
+    """Few (or zero) valid points used to fail the dims>=5 alias guard and
+    pay the full exact-fallback sweep; the grid now clamps to the safety
+    floor and the windowed kernel handles the degenerate problem directly
+    (PointGroup at init: obj mask ~empty while sem_pred is wall/floor)."""
+    n_cap = 2048
+    coords = np.zeros((n_cap, 3), np.float32)
+    coords[:3] = [[0, 0, 0], [0.01, 0, 0], [1.0, 1.0, 1.0]]
+    batch = np.zeros(n_cap, np.int32)
+    sem = np.full(n_cap, 4, np.int32)
+    valid = np.zeros(n_cap, bool)
+    valid[:3] = True
+    lab, use_window = semantic_radius_cc(
+        jnp.asarray(coords), jnp.float32(0.05), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem), return_use_window=True)
+    assert bool(use_window)
+    lab = np.asarray(lab)
+    assert lab[0] == lab[1] == 0 and lab[2] == 2
+    assert (lab[3:] == n_cap).all()
+
+    # fully empty valid set: windowed, all labels == N
+    lab0, uw0 = semantic_radius_cc(
+        jnp.asarray(coords), jnp.float32(0.05), jnp.asarray(batch),
+        jnp.zeros(n_cap, bool), jnp.asarray(sem), return_use_window=True)
+    assert bool(uw0)
+    assert (np.asarray(lab0) == n_cap).all()

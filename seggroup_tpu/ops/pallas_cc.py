@@ -11,7 +11,9 @@ propagation — 50+ s per training step. This kernel runs the whole
 clustering in well under a second by exploiting the same structure as the
 windowed sparse conv (sparse/pallas_conv.py):
 
-  1. points are sorted by (batch, cell) linear key with cell = radius, so
+  1. points are sorted by (batch, cell) linear key with cell = radius
+     (auto-escalated to 2x/4x radius when the extent would overflow the
+     int32 key space — exactness is cell-size-free, see _prep.grid_at), so
      all in-radius candidates of a TILE of 256 consecutive rows live, for
      each of the 9 (dx,dy) stencil column groups, in ONE short contiguous
      row window (the 3 dz cells of a column are adjacent keys);
@@ -144,37 +146,54 @@ def _prep(coords, radius, batch_ids, valid, semantics, tile, window):
     Returns (order, slab (8, N+W), win_base (n_tiles, 9) int32,
     offs (9,) f32, use_window bool scalar)."""
     n = coords.shape[0]
-    cell = jnp.float32(radius)
-    cells = jnp.floor(coords / cell).astype(jnp.int32)
-    cmin = jnp.min(jnp.where(valid[:, None], cells, 2 ** 30), axis=0)
-    cells = cells - cmin + 1
-    cmax = jnp.max(jnp.where(valid[:, None], cells, 0), axis=0)
-    # invalid rows' cells are garbage after the shift (up to ±2^30 when no
-    # valid point bounds an axis); their keys are replaced below, but keep
-    # the intermediate arithmetic in-range
-    cells = jnp.clip(cells, 0, jnp.maximum(cmax, 1))
-    dims = cmax + 2
-    # clamp tiny grids up to the alias-safety floor instead of falling back:
-    # the key-delta alias argument needs >= 5 cells/axis (aliased cells are
-    # then >= dims-3 >= 2 cells > radius apart); padding empty key space
-    # costs nothing, and a DEGENERATE problem (few/no valid points — e.g.
-    # PointGroup before the semantic head predicts objects) would otherwise
-    # pay the full exact-fallback sweep at every step
-    dims = jnp.maximum(dims, 5)
     nb = jnp.max(jnp.where(valid, batch_ids, 0)) + 1
 
-    # int32 key-range guard (float headroom flags overflow safely)
-    prodf = (dims[0].astype(jnp.float32) * dims[1].astype(jnp.float32)
-             * dims[2].astype(jnp.float32) * nb.astype(jnp.float32))
-    # the sweep's two-piece f32 key-delta test is only exact near `off`
-    # when |off|+2 is exactly representable: bound max|offs| (≈ d1*d2 + d2)
-    # under the 2^22 margin the kernel comments assume — prodf alone lets
-    # d1*d2 reach 2^24 (extreme aspect ratios) where f32 spacing is 2 and a
-    # true dz=±1 edge could fail `delta <= off + 1`
-    off_mag = (dims[1].astype(jnp.float32) * dims[2].astype(jnp.float32)
-               + dims[2].astype(jnp.float32))
-    ok_range = ((prodf < jnp.float32(2 ** 30))
-                & (off_mag + 2.0 < jnp.float32(2 ** 22)))
+    def grid_at(mul):
+        """Cells/dims at cell size mul*radius. Exactness is cell-size-free:
+        the sweep re-tests true distances, and any in-radius pair is within
+        one cell per axis for ANY cell >= radius, so the 27-stencil always
+        covers it. Bigger cells shrink the key space (prodf / mul^3) at the
+        price of denser windows (overflow falls back exactly)."""
+        cell = jnp.float32(radius) * mul
+        cells = jnp.floor(coords / cell).astype(jnp.int32)
+        cmin = jnp.min(jnp.where(valid[:, None], cells, 2 ** 30), axis=0)
+        cells = cells - cmin + 1
+        cmax = jnp.max(jnp.where(valid[:, None], cells, 0), axis=0)
+        # invalid rows' cells are garbage after the shift (up to ±2^30 when
+        # no valid point bounds an axis); their keys are replaced below, but
+        # keep the intermediate arithmetic in-range
+        cells = jnp.clip(cells, 0, jnp.maximum(cmax, 1))
+        # clamp tiny grids up to the alias-safety floor instead of falling
+        # back: the key-delta alias argument needs >= 5 cells/axis (aliased
+        # cells are then >= dims-3 >= 2 cells > radius apart); padding empty
+        # key space costs nothing, and a DEGENERATE problem (few/no valid
+        # points — e.g. PointGroup before the semantic head predicts
+        # objects) would otherwise pay the full exact-fallback sweep
+        dims = jnp.maximum(cmax + 2, 5)
+        # int32 key-range guard (float headroom flags overflow safely)
+        prodf = (dims[0].astype(jnp.float32) * dims[1].astype(jnp.float32)
+                 * dims[2].astype(jnp.float32) * nb.astype(jnp.float32))
+        # the sweep's two-piece f32 key-delta test is only exact near `off`
+        # when |off|+2 is exactly representable: bound max|offs| (≈ d1*d2 +
+        # d2) under the 2^22 margin the kernel comments assume — prodf alone
+        # lets d1*d2 reach 2^24 (extreme aspect ratios) where f32 spacing is
+        # 2 and a true dz=±1 edge could fail `delta <= off + 1`
+        off_mag = (dims[1].astype(jnp.float32) * dims[2].astype(jnp.float32)
+                   + dims[2].astype(jnp.float32))
+        ok = ((prodf < jnp.float32(2 ** 30))
+              & (off_mag + 2.0 < jnp.float32(2 ** 22)))
+        return cells, dims, ok
+
+    # adaptive cell scale: smallest of {1, 2, 4}x radius whose key space
+    # fits int32 — huge extents (untrained PointGroup offsets reach tens of
+    # meters; outdoor scenes) would otherwise be permanently exiled to the
+    # exact fallback
+    c1, d1, ok1 = grid_at(1.0)
+    c2, d2, ok2 = grid_at(2.0)
+    c4, d4, ok4 = grid_at(4.0)
+    cells = jnp.where(ok1, c1, jnp.where(ok2, c2, c4))
+    dims = jnp.where(ok1, d1, jnp.where(ok2, d2, d4))
+    ok_range = ok1 | ok2 | ok4
 
     key = ((batch_ids * dims[0] + cells[:, 0]) * dims[1]
            + cells[:, 1]) * dims[2] + cells[:, 2]
@@ -209,7 +228,13 @@ def _prep(coords, radius, batch_ids, valid, semantics, tile, window):
     n_tiles = n // tile
     sk2 = skey.reshape(n_tiles, tile)
     real = sk2 < 2 ** 30
-    t_first = jnp.min(jnp.where(real, sk2, 2 ** 29), axis=1)
+    # pad filler must be >= any REAL key (keys reach prodf ~ 2^30, not 2^29):
+    # a smaller filler collapses the valid/pad boundary tile's t_first and
+    # spuriously trips the window-overflow guard on any grid whose keys
+    # exceed the filler — which permanently exiled large scenes (e.g.
+    # PointGroup's offset-shifted half under train-mode BN at init) to the
+    # exact fallback
+    t_first = jnp.min(jnp.where(real, sk2, 2 ** 30), axis=1)
     t_last = jnp.max(jnp.where(real, sk2, -1), axis=1)
     lo_key = t_first[:, None] + offs[None, :] - 1            # (n_tiles, 9)
     hi_key = t_last[:, None] + offs[None, :] + 1
@@ -309,16 +334,24 @@ def semantic_radius_cc(
     single-problem range — the doubled range could otherwise wrap int32 on
     large scenes and silently merge scenes/halves."""
     from seggroup_tpu.ops.cc import semantic_connected_components
-    from seggroup_tpu.ops.knn import ball_query
+    from seggroup_tpu.ops.knn import ball_query_pair_fast
 
     n = coords.shape[0]
 
     def one_fallback(c, b, v, s):
         m = c.shape[0]
-        nbrs, _cnt, _ovf = ball_query(c, radius, b, v,
-                                      max_neighbors=max_neighbors_fallback)
+        # windowed-sorted neighbor lists (ops/knn.py) — the 27-stencil
+        # gather formulation ran at ~3 s per 131k-point half on v5e, an
+        # order of magnitude slower than the MXU distance-matrix sweep;
+        # ball_query_pair_fast carries its own exact fallback, and for CC
+        # the windowed path's weaker truncation (global K instead of
+        # per-cell bucket caps) only brings the partition CLOSER to exact
+        nbrs, _cnt, _ovf = ball_query_pair_fast(
+            c, b, v, c, b, v, radius,
+            max_neighbors=max_neighbors_fallback)
+        # pair variant marks empty slots with index m; mask them
         lab = semantic_connected_components(
-            nbrs, jnp.ones(nbrs.shape, bool), v, s)
+            jnp.minimum(nbrs, m - 1), nbrs < m, v, s)
         return _canonicalize(jnp.where(v, lab, m), m)
 
     if fused_halves:

@@ -223,3 +223,58 @@ def test_degenerate_valid_set_stays_windowed(rng):
         jnp.zeros(n_cap, bool), jnp.asarray(sem), return_use_window=True)
     assert bool(uw0)
     assert (np.asarray(lab0) == n_cap).all()
+
+
+def test_large_key_space_stays_windowed(rng):
+    """Grids whose linear keys exceed 2^29 (still inside the int32/prodf
+    guard) used to trip a spurious window-overflow on the valid/pad boundary
+    tile (the t_first pad filler was smaller than real keys) and fall back
+    forever. Must stay windowed and match the oracle.
+
+    Bug geometry: the boundary tile's t_first collapsed to the filler, so
+    its apparent span became every point keyed above the filler — the trip
+    needs > window (1024) such points, hence 1800 valid points all in the
+    high-key region plus one low pin stretching the grid to ~900 cells/axis
+    (key space ~7.3e8, between 2^29 and 2^30)."""
+    n_cap, n = 2048, 1800
+    coords = np.zeros((n_cap, 3), np.float32)
+    centers = rng.uniform(24.0, 26.8, (10, 3)).astype(np.float32)
+    which = rng.integers(0, 10, n)
+    coords[:n] = centers[which] + rng.normal(0, 0.04, (n, 3)).astype(np.float32)
+    coords[0] = 0.0  # low pin: stretches cmin so high points key > 2^29
+    batch = np.zeros(n_cap, np.int32)
+    sem = np.full(n_cap, 3, np.int32)
+    sem[:n] = rng.integers(2, 5, n)
+    valid = np.zeros(n_cap, bool)
+    valid[:n] = True
+    lab, use_window = semantic_radius_cc(
+        jnp.asarray(coords), jnp.float32(0.03), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem), return_use_window=True)
+    assert bool(use_window)
+    want = oracle_labels(coords, 0.03, batch, valid, sem)
+    lab = np.asarray(lab)
+    np.testing.assert_array_equal(lab[valid], want[valid])
+    assert (lab[~valid] == n_cap).all()
+
+
+def test_adaptive_cell_scale_on_huge_extent(rng):
+    """An extent whose cell-size-radius grid overflows the int32 key space
+    must escalate the cell to 2x/4x radius and stay windowed (untrained
+    PointGroup offsets reach tens of meters). Exactness is cell-size-free."""
+    n_cap, n = 2048, 400
+    coords = np.zeros((n_cap, 3), np.float32)
+    centers = rng.uniform(0, 60.0, (12, 3)).astype(np.float32)  # 2000 cells/axis at r
+    which = rng.integers(0, 12, n)
+    coords[:n] = centers[which] + rng.normal(0, 0.04, (n, 3)).astype(np.float32)
+    batch = np.zeros(n_cap, np.int32)
+    sem = np.full(n_cap, 3, np.int32)
+    sem[:n] = rng.integers(2, 5, n)
+    valid = np.zeros(n_cap, bool)
+    valid[:n] = True
+    lab, use_window = semantic_radius_cc(
+        jnp.asarray(coords), jnp.float32(0.03), jnp.asarray(batch),
+        jnp.asarray(valid), jnp.asarray(sem), return_use_window=True)
+    assert bool(use_window)
+    want = oracle_labels(coords, 0.03, batch, valid, sem)
+    lab = np.asarray(lab)
+    np.testing.assert_array_equal(lab[valid], want[valid])

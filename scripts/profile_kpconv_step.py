@@ -56,6 +56,8 @@ def main():
 
     enable_persistent_cache()
 
+    from bench import room_sphere_points
+
     rng = np.random.default_rng(0)
     n = 2 ** args.cap
     batch_size = args.batch
@@ -65,10 +67,7 @@ def main():
     for b in range(batch_size):
         center = rng.uniform(0, 8, 3).astype(np.float32)
         sl = slice(b * per, (b + 1) * per)
-        r = rng.uniform(0, 2.0, per) ** (1 / 3)
-        d = rng.normal(size=(per, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
-        pts[sl] = center + (d * (2.0 * r[:, None])).astype(np.float32)
+        pts[sl] = center + room_sphere_points(rng, per, 2.0)
         bids[sl] = b
     valid = np.ones(n, bool)
     feats = np.concatenate([np.ones((n, 1), np.float32),

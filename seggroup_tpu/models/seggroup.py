@@ -302,6 +302,8 @@ class SegGroupGNN(nn.Module):
     fast_knn: bool = False  # lax.approx_max_k inside cluster_knn (~3.7x
     # faster per kNN call, recall 0.95) — pairs with parallel grouping as
     # the opt-in fast mode; default exact for reference parity
+    knn_small_window: int | None = None  # bit-exact tiered fast path
+    # (ops.knn.cluster_knn small_window); None = auto (window//4)
     mlp1_points: int = 64
     cluster_cap: int = 1024
     max_instances: int = 128
@@ -428,7 +430,7 @@ class SegGroupGNN(nn.Module):
         knn_idx = cluster_knn(
             pts[:, :3], jnp.where(pt_valid, roots, jnp.int32(0x3FFFFFFF)),
             k=self.knn_k, window=self.knn_window, approx=self.fast_knn,
-            valid=pt_valid,
+            valid=pt_valid, small_window=self.knn_small_window,
         )
         center = segment_mean(pts[:, :3], roots, s)  # (S, 3)
         centered = pts[:, :3] - center[jnp.minimum(roots, s - 1)]

@@ -100,13 +100,133 @@ def _fwd_kernel(base_ref, rbl_ref, f_ref, w_ref, out_ref, win_buf, sems):
         _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window).wait()
         win = win_buf[slot, g]
         oh = (iota_w == rbl_ref[:, g][:, None]).astype(win.dtype)
-        rows = jnp.dot(oh, win, preferred_element_type=jnp.float32)
-        rows = rows.astype(win.dtype)
+        # (Mosaic requires 32-bit matmul accumulators, so the one-hot product
+        # lands in f32 and is cast back — the selection itself is exact)
+        rows = jnp.dot(oh, win,
+                       preferred_element_type=jnp.float32).astype(win.dtype)
         for dz in range(3):
             acc = acc + jnp.dot(rows[dz * tile:(dz + 1) * tile],
                                 w_ref[3 * g + dz],
                                 preferred_element_type=jnp.float32)
     out_ref[:] = acc
+
+
+# --- lane-packed variant (true Cin <= 64) ------------------------------------
+#
+# Narrow channels waste the one-hot: the window's lane dim must pad to 128,
+# so a Cin=32 level pays 4x the one-hot MACs AND 4x the window DMA traffic
+# for zero information. Instead, p = 128 // sub consecutive feature rows are
+# PACKED into one 128-lane row (feats.reshape((M+W)/p, p*sub)); the one-hot
+# then selects a packed row (p-fold narrower dot) and a per-row lane-block
+# mask (VPU) zeroes the p-1 sibling rows that rode along. The conv weights
+# are lane-tiled p times so the masked (3T, 128) row block multiplies in one
+# dot — exact: masked lanes are exactly zero, and w_tiled's j-th block equals
+# the true weights, so only the selected block contributes.
+#
+# Window starts re-align inside the kernel: packed DMA starts must be
+# 16-aligned in PACKED rows (16p original rows) while the planner aligns to
+# 16 original rows, so each (tile, group) carries d = base - p*base_p in
+# [0, 16p) and the buffer holds W/p + 16 packed rows to cover the tail.
+
+
+def _make_dma_packed(f_ref, win_buf, sems, base_ref, t, g, slot, wp, shift):
+    base = base_ref[t * 9 + g]
+    base_p = pl.multiple_of((base >> shift) & ~15, 16)
+    return pltpu.make_async_copy(
+        f_ref.at[pl.ds(base_p, wp), :],
+        win_buf.at[slot, g],
+        sems.at[slot, g],
+    )
+
+
+def _start_tile_packed(f_ref, win_buf, sems, base_ref, t, slot, wp, shift):
+    for g in range(9):
+        _make_dma_packed(f_ref, win_buf, sems, base_ref, t, g, slot, wp,
+                         shift).start()
+
+
+def _gather_rows_packed(base_ref, rbl_ref, win_buf, sems, f_ref, t, slot,
+                        g, window, sub, shift):
+    """One group's packed gather -> (3T, 128) masked rows (selected lane
+    block live, sibling blocks zero)."""
+    _make_dma_packed(f_ref, win_buf, sems, base_ref, t, g, slot,
+                     win_buf.shape[2], shift).wait()
+    win = win_buf[slot, g]                      # (Wp, 128)
+    wp = win.shape[0]
+    n3t = rbl_ref.shape[0]
+    base = base_ref[t * 9 + g]
+    d = base - (((base >> shift) & ~15) << shift)
+    r = rbl_ref[:, g]                           # (3T,) in [0, window]
+    ok = r < window                             # window == absent sentinel
+    rp = (r + d) >> shift
+    blk = (r + d) & ((1 << shift) - 1)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (n3t, wp), 1)
+    oh = ((iota_p == rp[:, None]) & ok[:, None]).astype(win.dtype)
+    rows = jnp.dot(oh, win,
+                   preferred_element_type=jnp.float32).astype(win.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n3t, 128), 1)
+    mask = (lane >> (7 - shift)) == blk[:, None]   # lane // sub == blk
+    return jnp.where(mask, rows, jnp.zeros((), win.dtype))
+
+
+def _fwd_kernel_packed(base_ref, rbl_ref, f_ref, w_ref, out_ref, win_buf,
+                       sems, *, window, sub, shift):
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    tile = rbl_ref.shape[0] // 3
+    wp = win_buf.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        _start_tile_packed(f_ref, win_buf, sems, base_ref, 0, 0, wp, shift)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _start_tile_packed(f_ref, win_buf, sems, base_ref, t + 1,
+                           (t + 1) % 2, wp, shift)
+
+    slot = t % 2
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(9):
+        rows = _gather_rows_packed(base_ref, rbl_ref, win_buf, sems, f_ref,
+                                   t, slot, g, window, sub, shift)
+        for dz in range(3):
+            acc = acc + jnp.dot(rows[dz * tile:(dz + 1) * tile],
+                                w_ref[3 * g + dz],
+                                preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def _dw_kernel_packed(base_ref, rbl_ref, f_ref, dout_ref, dw_ref, win_buf,
+                      sems, *, window, sub, shift):
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    tile = rbl_ref.shape[0] // 3
+    wp = win_buf.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        _start_tile_packed(f_ref, win_buf, sems, base_ref, 0, 0, wp, shift)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _start_tile_packed(f_ref, win_buf, sems, base_ref, t + 1,
+                           (t + 1) % 2, wp, shift)
+
+    slot = t % 2
+    dout = dout_ref[:]
+    for g in range(9):
+        rows = _gather_rows_packed(base_ref, rbl_ref, win_buf, sems, f_ref,
+                                   t, slot, g, window, sub, shift)
+        for dz in range(3):
+            k = 3 * g + dz
+            upd = jax.lax.dot_general(
+                rows[dz * tile:(dz + 1) * tile], dout.astype(rows.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw_ref[k] = dw_ref[k] + upd
 
 
 def _dw_kernel(base_ref, rbl_ref, f_ref, dout_ref, dw_ref, win_buf, sems):
@@ -132,8 +252,8 @@ def _dw_kernel(base_ref, rbl_ref, f_ref, dout_ref, dw_ref, win_buf, sems):
         _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window).wait()
         win = win_buf[slot, g]
         oh = (iota_w == rbl_ref[:, g][:, None]).astype(win.dtype)
-        rows = jnp.dot(oh, win, preferred_element_type=jnp.float32)
-        rows = rows.astype(win.dtype)
+        rows = jnp.dot(oh, win,
+                       preferred_element_type=jnp.float32).astype(win.dtype)
         for dz in range(3):
             k = 3 * g + dz
             upd = jax.lax.dot_general(
@@ -146,17 +266,31 @@ def _dw_kernel(base_ref, rbl_ref, f_ref, dout_ref, dw_ref, win_buf, sems):
     # grid steps and is written back once at the end
 
 
+def _pack_shift(cin: int) -> int:
+    """log2 of the lane-pack factor for a true channel count."""
+    if cin <= 32:
+        return 2
+    if cin <= 64:
+        return 1
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "tile", "window"))
 def subm_conv_windowed(feats, weights, rb_local, win_base,
                        compute_dtype=jnp.bfloat16, tile=TILE, window=WINDOW):
     """feats (M, Cin) f32, weights (27, Cin, Cout), rb_local (3M, 9) int32
     dz-block-interleaved window-local indices (native.subm_windows layout;
     == window for absent), win_base (M//tile, 9) int32 16-aligned window
-    starts. Returns (M, Cout) f32."""
+    starts. Returns (M, Cout) f32. Cin <= 64 routes through the lane-packed
+    kernel (see module comment above _fwd_kernel_packed)."""
     m, cin = feats.shape
     cout = weights.shape[2]
     assert m % tile == 0, "capacity must be a multiple of tile"
     n_tiles = m // tile
+    shift = _pack_shift(cin)
+    if shift:
+        return _subm_conv_windowed_packed(feats, weights, rb_local, win_base,
+                                          compute_dtype, tile, window, shift)
     cin_p = _pad128(cin)
     f = feats.astype(compute_dtype)
     f_pad = jnp.zeros((m + window, cin_p), compute_dtype).at[:m, :cin].set(f)
@@ -195,14 +329,118 @@ def subm_conv_windowed(feats, weights, rb_local, win_base,
     )(win_base.reshape(-1), rb_local, f_pad, weights.astype(compute_dtype))
 
 
+def _pack_feats(feats, window, shift, compute_dtype):
+    """(M, cin) -> ((M+window)/p, 128) packed rows + lane-tiled weight pad."""
+    m, cin = feats.shape
+    p = 1 << shift
+    sub = 128 >> shift
+    f = feats.astype(compute_dtype)
+    f_sub = jnp.zeros((m + window, sub), compute_dtype).at[:m, :cin].set(f)
+    return f_sub.reshape((m + window) // p, 128), sub
+
+
+def _tile_weights(weights, sub, shift):
+    """(27, cin, cout) -> (27, 128, cout): pad cin -> sub, repeat p times
+    along the lane axis so any selected lane block multiplies true weights."""
+    cin, cout = weights.shape[1], weights.shape[2]
+    w = jnp.zeros((27, sub, cout), weights.dtype).at[:, :cin, :].set(weights)
+    return jnp.tile(w, (1, 1 << shift, 1))
+
+
+def _subm_conv_windowed_packed(feats, weights, rb_local, win_base,
+                               compute_dtype, tile, window, shift):
+    m, cin = feats.shape
+    cout = weights.shape[2]
+    n_tiles = m // tile
+    f_packed, sub = _pack_feats(feats, window, shift, compute_dtype)
+    w_tiled = _tile_weights(weights, sub, shift).astype(compute_dtype)
+    wp = (window >> shift) + 16  # +16 packed rows: in-kernel 16p re-align
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3 * tile, 9), lambda t, base: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, base: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, wp, 128), compute_dtype),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+    )
+    kern = functools.partial(_fwd_kernel_packed, window=window, sub=sub,
+                             shift=shift)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, cout), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 27 * m * 128 * (wp + cout),
+            bytes_accessed=9 * n_tiles * wp * 128 * 2 + m * 27 * 4
+            + m * cout * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(win_base.reshape(-1), rb_local, f_packed, w_tiled)
+
+
+def _subm_dw_windowed_packed(feats, dout, rb_local, win_base,
+                             compute_dtype, tile, window, shift):
+    m, cin = feats.shape
+    cout = dout.shape[1]
+    n_tiles = m // tile
+    f_packed, sub = _pack_feats(feats, window, shift, compute_dtype)
+    wp = (window >> shift) + 16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3 * tile, 9), lambda t, base: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tile, cout), lambda t, base: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((27, 128, cout), lambda t, base: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, wp, 128), compute_dtype),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+    )
+    kern = functools.partial(_dw_kernel_packed, window=window, sub=sub,
+                             shift=shift)
+    dw_big = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((27, 128, cout), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(win_base.reshape(-1), rb_local, f_packed, dout)
+    # fold the p lane blocks (p-1 are exactly zero per row, so the sum IS
+    # the selected block) and drop the cin->sub padding
+    return dw_big.reshape(27, 1 << shift, sub, cout).sum(axis=1)[:, :cin, :]
+
+
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "tile", "window"))
 def subm_dw_windowed(feats, dout, rb_local, win_base,
                      compute_dtype=jnp.bfloat16, tile=TILE, window=WINDOW):
     """Weight gradient: dW[k] = sum_i feats[nbr[i,k]] dout[i]^T, computed
-    tile-by-tile with the same window DMAs. Returns (27, Cin, Cout) f32."""
+    tile-by-tile with the same window DMAs. Returns (27, Cin, Cout) f32.
+    Cin <= 64 routes through the lane-packed kernel."""
     m, cin_in = feats.shape
     cout = dout.shape[1]
     n_tiles = m // tile
+    shift = _pack_shift(cin_in)
+    if shift:
+        return _subm_dw_windowed_packed(feats, dout, rb_local, win_base,
+                                        compute_dtype, tile, window, shift)
     cin = _pad128(cin_in)
     f = feats.astype(compute_dtype)
     f_pad = jnp.zeros((m + window, cin), compute_dtype).at[:m, :cin_in].set(f)

@@ -104,15 +104,17 @@ def test_pointgroup_plan_end_to_end_parity(rng):
 
 
 @pytest.mark.slow
-def test_windowed_conv_matches_plain(rng):
+@pytest.mark.parametrize("cin,cout", [(8, 6), (48, 40), (96, 70)])
+def test_windowed_conv_matches_plain(rng, cin, cout):
     """Pallas windowed gather (interpret mode on CPU) == plain gather, fwd
-    and both gradients, including absent neighbors and window fallback."""
+    and both gradients, including absent neighbors and window fallback.
+    cin 8/48/96 cover the lane-pack factors 4/2/1 (pallas_conv._pack_shift)."""
     import jax
 
     from seggroup_tpu.sparse import pallas_conv
     from seggroup_tpu.sparse.conv import _subm_apply, subm_conv
 
-    m, cin, cout = 8 * pallas_conv.TILE, 8, 6
+    m = 8 * pallas_conv.TILE
     base = np.arange(m)[:, None]
     rb = np.clip(base + rng.integers(-40, 40, size=(m, 27)), 0, m - 1)
     rb = np.where(rng.random((m, 27)) < 0.3, m, rb).astype(np.int32)

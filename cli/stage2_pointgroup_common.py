@@ -75,7 +75,10 @@ def make_pg_batch(tuples, n_cap, i_cap, rng=None, augment=False,
         if max_points_per_scene:
             budget = min(budget, max_points_per_scene)
         if len(coords) > budget:
-            crop_rng = rng if rng is not None else np.random.default_rng(0)
+            # eval path (rng=None): deterministic crops, but seeded per
+            # scene index so different scenes don't all share one 'random'
+            # window (which would bias evaluation coverage)
+            crop_rng = rng if rng is not None else np.random.default_rng(b)
             xyz = (coords - coords.min(0)) * crop_scale
             _, mask = T.spatial_crop(xyz, budget, crop_rng,
                                      full_scale=crop_full_scale)

@@ -30,13 +30,19 @@ def connected_components(
     neighbors: jax.Array,
     nbr_valid: jax.Array,
     point_valid: jax.Array,
-    max_iters: int = 64,
+    max_iters: int | None = None,
 ) -> jax.Array:
     """Min-label propagation CC.
 
     neighbors: (N, K) int32 neighbor indices (self-loops fine).
     nbr_valid: (N, K) bool edge mask.
     point_valid: (N,) bool; invalid points get label N.
+
+    max_iters: None (default) runs the while_loop to fixpoint — the result is
+    always a complete labeling. An int bounds the sweep count; that is an
+    explicit caller choice and may return an over-split labeling on graphs
+    needing more rounds (with hooking + jumping, convergence is
+    near-logarithmic, so ~40 rounds covers any physical input).
 
     Returns (N,) int32 labels = min point index in the component."""
     n = neighbors.shape[0]
@@ -68,8 +74,12 @@ def connected_components(
         new = jnp.where(point_valid, new, jnp.int32(n))
         return new, jnp.any(new != label), it + 1
 
-    def cond(carry):
-        return carry[1] & (carry[2] < max_iters)
+    if max_iters is None:
+        def cond(carry):
+            return carry[1]
+    else:
+        def cond(carry):
+            return carry[1] & (carry[2] < max_iters)
 
     label, _, _ = jax.lax.while_loop(
         cond, body, (init, jnp.array(True), jnp.int32(0)))

@@ -500,6 +500,21 @@ def ball_query_pair_windowed(
     # stencil key extremes: off_key(dx,dy,dz) = (dx*d1 + dy)*d2 + dz
     off_max = (dims[1] + 1) * dims[2] + 1
     off_min = -off_max
+    # int32 key-space guard: keys are cell_key + batch*span; on huge
+    # extent/radius ratios (e.g. untrained PointGroup offsets spanning tens
+    # of meters at cm radii) dims-product × num_batches can exceed 2^31 and
+    # wrap, scrambling the sorted order the range-containment exactness
+    # relies on. Detect in f32 and fold into window_overflow_any so
+    # ball_query_pair_fast falls back to the exact bucket path (whose key
+    # use is equality-only, hence wrap-consistent).
+    num_batches = jnp.maximum(
+        jnp.max(jnp.where(support_valid,
+                          support_batch.astype(jnp.int32), 0)),
+        jnp.max(jnp.where(query_valid, query_batch.astype(jnp.int32), 0)),
+    ) + 1
+    prodf = (dims[0].astype(jnp.float32) * dims[1].astype(jnp.float32)
+             * dims[2].astype(jnp.float32) * num_batches.astype(jnp.float32))
+    key_space_overflow = prodf >= jnp.float32(2 ** 31)
 
     s_key = _cell_key(s_cells, dims) + support_batch.astype(jnp.int32) * span
     s_key = jnp.where(support_valid, s_key, big_key)
@@ -575,7 +590,7 @@ def ball_query_pair_windowed(
     # rows are in sorted-query order (pad tiles are the tail); one inverse
     # gather restores the original order
     inv = invert_permutation(order_q)
-    return nbrs[inv], counts[inv], over[inv], jnp.any(ovf)
+    return nbrs[inv], counts[inv], over[inv], jnp.any(ovf) | key_space_overflow
 
 
 def ball_query_pair_fast(

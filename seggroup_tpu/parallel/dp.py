@@ -373,12 +373,17 @@ def build_pointgroup_dp_step_packed(
     model, optimizer: optax.GradientTransformation, mesh: Mesh,
     loss_fn: Callable, voxel_cap: int, level_caps,
     do_clustering: bool = False, instance_cap: int = 256,
-    window_levels: int = 3,
+    window_levels: int = 0,
 ) -> Callable:
     """Minimal-transfer PointGroup DP step: per-device compact wire batches
     (cli.stage2_pointgroup_common.pack_pg_batch) with the 7-level pyramid
     plan rebuilt inside each shard (SPMD-local, no collectives) — ~20 MB on
     the wire per device instead of ~140 MB with stacked host plans.
+
+    window_levels defaults to 0 (no Pallas windowed-conv levels), matching
+    pg_wire.unpack_pg_batch / host_voxelize_plan / bench: PG's skinny
+    channels gain little from windows and the windowed program's compile
+    OOMs the remote helper at the full 2^19 budget.
 
     Call: step(params, stats, opt_state, wire_dict, key)
       -> (params, stats, opt_state, summed_loss); every leaf of `wire_dict`

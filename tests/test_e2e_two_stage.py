@@ -152,6 +152,17 @@ def test_lenient_restore_partial_weights(tmp_path):
 
 
 @pytest.mark.slow
+def test_kpcnn_classification_eval_smoke(workdir):
+    """KPCNN classification tester (reference kpconv/utils/tester.py:127-215
+    test_classification): vote-averaged probs + confusion-matrix accuracy."""
+    out = run(["cli.stage2_test_classification", "--synthetic", "6",
+               "--votes", "1", "--points_per_cloud", "128",
+               "--batch_clouds", "3", "--exp_name", "e2e"], workdir)
+    assert "Test Accuracy" in out
+    assert "FINAL accuracy" in out
+
+
+@pytest.mark.slow
 def test_demo_semantic_writes_colored_ply(workdir):
     """Standalone inference demo (reference minkowski/demo/scannet.py):
     synthetic cloud -> colored NYU40-palette prediction PLY aligned to the

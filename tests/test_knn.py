@@ -313,3 +313,25 @@ def test_cluster_knn_tiered_auto_default(rng):
     auto = np.asarray(cluster_knn(jnp.array(pts), jnp.array(cid), k=k,
                                   row_block=512, window=4096))
     np.testing.assert_array_equal(base, auto)
+
+
+def test_ball_query_pair_windowed_int32_keyspace_guard(rng):
+    """Huge extent/radius ratios make dims-product x batches exceed 2^31;
+    the windowed path must FLAG this (window_overflow_any) so the fast
+    wrapper takes the exact wrap-consistent fallback (ADVICE r3)."""
+    from seggroup_tpu.ops.knn import ball_query_pair, ball_query_pair_fast, \
+        ball_query_pair_windowed
+
+    n, r = 256, 5e-4  # 50m extent at 0.5mm radius -> dims ~1e5 per axis
+    pts = (rng.random((n, 3)) * 50.0).astype(np.float32)
+    b = np.zeros(n, np.int32)
+    v = np.ones(n, bool)
+    args = (jnp.asarray(pts), jnp.asarray(b), jnp.asarray(v)) * 2 + (r,)
+    _, _, _, ovf = ball_query_pair_windowed(*args, max_neighbors=8)
+    assert bool(ovf), "key-space overflow must be flagged"
+    nf, cf, _ = ball_query_pair_fast(*args, max_neighbors=8, bucket_cap=32)
+    ne, ce, _ = ball_query_pair(*args, max_neighbors=8, bucket_cap=32)
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(ce))
+    nf, ne, cf = np.asarray(nf), np.asarray(ne), np.asarray(cf)
+    for i in range(n):
+        assert set(nf[i, :cf[i]]) == set(ne[i, :cf[i]]), i

@@ -104,6 +104,49 @@ class SceneSource:
         return self.ds[i]
 
 
+# Static-budget buckets for auto cap selection. A small fixed set bounds the
+# number of distinct compiled programs (each bucket is one jit specialization,
+# cached persistently), while guaranteeing the selected cap covers the
+# scene's real sizes so the budget never binds (divergence condition
+# docs/ARCHITECTURE.md deviations #2-3; VERDICT r3 item 5).
+CLUSTER_CAP_BUCKETS = (1024, 2048, 4096, 8192, 16384)
+KNN_WINDOW_BUCKETS = (8192, 16384, 32768, 65536, 131072, 262144)
+
+
+def pick_bucket(size: int, buckets, minimum: int = 0) -> int:
+    """Smallest of {minimum} | buckets covering max(size, minimum); the
+    largest candidate if none covers. The caller's minimum is itself a
+    candidate so a deliberately small --cluster_cap stays honored on scenes
+    it covers (e.g. tiny synthetic CI scenes) and escalates only when
+    binding."""
+    need = max(int(size), int(minimum))
+    for b in sorted({int(minimum), *buckets}):
+        if b >= need:
+            return b
+    return max(buckets)
+
+
+def host_max_segment_size(scene: Scene) -> int:
+    """Largest layer-1 segment, computed on host BEFORE any compile — this is
+    exactly the quantity that makes cluster_cap binding (FPS-cloud
+    truncation, reference model.py:398-426 analog)."""
+    p2s = np.asarray(scene.point2seg)
+    sizes = np.bincount(p2s[p2s < scene.num_slots], minlength=1)
+    return int(sizes.max())
+
+
+def group_scenes_by_cap(source, minimum: int,
+                        buckets=CLUSTER_CAP_BUCKETS) -> dict[int, list[int]]:
+    """scene index -> smallest cluster_cap bucket covering its largest
+    layer-1 segment (host-side pre-pass; one compiled program per bucket)."""
+    groups: dict[int, list[int]] = {}
+    for i in range(len(source)):
+        sc, _ = source.get(i)
+        cc = pick_bucket(host_max_segment_size(sc), buckets, minimum)
+        groups.setdefault(cc, []).append(i)
+    return groups
+
+
 def stack_scenes(scenes) -> Scene:
     return Scene(*(jnp.stack([jnp.asarray(x) for x in cols])
                    for cols in zip(*scenes)))

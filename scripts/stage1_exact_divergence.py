@@ -46,6 +46,11 @@ def main():
                     help="production FPS candidate budget under test")
     ap.add_argument("--knn_window", type=int, default=8192,
                     help="production Morton-window kNN budget under test")
+    ap.add_argument("--auto_caps", action="store_true",
+                    help="pick per-scene budgets exactly like the default "
+                         "cli.stage1_infer path (bucketed cluster_cap from "
+                         "the host-known max segment; knn_window escalation "
+                         "on overflow) — the r4 divergence-free default")
     args = ap.parse_args()
 
     import jax
@@ -55,20 +60,24 @@ def main():
     from seggroup_tpu.models.seggroup import SegGroupGNN
 
     n = args.num_points
-    prod = SegGroupGNN(cluster_cap=args.cluster_cap,
-                       knn_window=args.knn_window, sequential=True)
     # exact: budgets cover any cluster (cap rounded to the full scene)
     exact = SegGroupGNN(cluster_cap=n, knn_window=n, sequential=True)
 
-    @jax.jit
-    def fwd_prod(v, s):
-        return prod.apply(v, s, mode="ins_infer", train=False)
+    prod_fns = {}
+
+    def fwd_prod_at(cc, kw):
+        if (cc, kw) not in prod_fns:
+            m = SegGroupGNN(cluster_cap=cc, knn_window=kw, sequential=True)
+            prod_fns[(cc, kw)] = jax.jit(
+                lambda v, s, m=m: m.apply(v, s, mode="ins_infer",
+                                          train=False))
+        return prod_fns[(cc, kw)]
 
     @jax.jit
     def fwd_exact(v, s):
         return exact.apply(v, s, mode="ins_infer", train=False)
 
-    print(f"{'config':>10} {'seed':>4} {'max_seg':>8} {'max_inst':>8} "
+    print(f"{'config':>10} {'seed':>4} {'max_seg':>8} {'caps':>13} "
           f"{'d_sem':>6} {'d_ins':>6} {'d_sem2':>6} {'d_ins2':>6} "
           f"{'t_prod':>7} {'t_exact':>7}")
     total_diff = 0
@@ -83,16 +92,30 @@ def main():
             scene = jax.device_put(scene)
             if variables is None:
                 variables = jax.jit(
-                    lambda r1, r2, s: prod.init(
+                    lambda r1, r2, s: exact.init(
                         {"params": r1, "dropout": r2}, s, mode="ins_infer",
                         train=False)
                 )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), scene)
             p2s = np.asarray(scene.point2seg)
             seg_sizes = np.bincount(p2s[p2s < args.num_slots])
-            inst_size = n // ni
 
+            cc, kw = args.cluster_cap, args.knn_window
+            if args.auto_caps:
+                from cli.stage1_common import (CLUSTER_CAP_BUCKETS,
+                                               KNN_WINDOW_BUCKETS,
+                                               pick_bucket)
+                cc = pick_bucket(int(seg_sizes.max()), CLUSTER_CAP_BUCKETS,
+                                 args.cluster_cap)
             t0 = time.time()
-            out_p = fwd_prod(variables, scene)
+            out_p = fwd_prod_at(cc, kw)(variables, scene)
+            if args.auto_caps:
+                # knn_window escalation exactly like cli.stage1_infer
+                while (int(out_p.max_cluster_size) > kw
+                       and pick_bucket(int(out_p.max_cluster_size),
+                                       KNN_WINDOW_BUCKETS, kw + 1) > kw):
+                    kw = pick_bucket(int(out_p.max_cluster_size),
+                                     KNN_WINDOW_BUCKETS, kw + 1)
+                    out_p = fwd_prod_at(cc, kw)(variables, scene)
             sem_p = np.asarray(out_p.final_sem)
             t_prod = time.time() - t0
             t0 = time.time()
@@ -109,7 +132,7 @@ def main():
                           != np.asarray(out_e.ins_layer2)).sum())
             total_diff += d_sem + d_ins + d_sem2 + d_ins2
             print(f"{cfg:>10} {seed:>4} {int(seg_sizes.max()):>8} "
-                  f"{inst_size:>8} {d_sem:>6} {d_ins:>6} {d_sem2:>6} "
+                  f"{cc:>6}/{kw:>6} {d_sem:>6} {d_ins:>6} {d_sem2:>6} "
                   f"{d_ins2:>6} {t_prod:>6.1f}s {t_exact:>6.1f}s")
     print(f"total exported-label differences: {total_diff} "
           f"/ {args.seeds * len(args.configs.split(',')) * 4 * n} labels")

@@ -47,10 +47,15 @@ INS_VALID_CLASS_IDS = (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over the leading axes with a validity mask (padded rows do not
     pollute the statistics). Running stats live in the `batch_stats`
-    collection, as in standard flax BatchNorm."""
+    collection, as in standard flax BatchNorm.
+
+    axis_name: when the rows are point-sharded across a mesh axis (each
+    device sees only its slab), psum the masked sums/counts over that axis so
+    the statistics equal the single-device computation."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
@@ -63,12 +68,17 @@ class MaskedBatchNorm(nn.Module):
         x = x.astype(jnp.float32)  # stats and normalization in f32
         if train:
             m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)).astype(x.dtype)
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / cnt
-            var = (
-                jnp.sum(jnp.square(x - mean) * m, axis=tuple(range(x.ndim - 1)))
-                / cnt
-            )
+            axes = tuple(range(x.ndim - 1))
+            cnt = jnp.sum(m)
+            ssum = jnp.sum(x * m, axis=axes)
+            if self.axis_name is not None:
+                cnt, ssum = jax.lax.psum((cnt, ssum), self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = ssum / cnt
+            vsum = jnp.sum(jnp.square(x - mean) * m, axis=axes)
+            if self.axis_name is not None:
+                vsum = jax.lax.psum(vsum, self.axis_name)
+            var = vsum / cnt
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -120,27 +130,35 @@ class EdgeConvBlock(nn.Module):
     The (N, k, C) intermediates ride in `dtype` (default bfloat16: gathers
     and elementwise traffic are the cost here — see docs/ARCHITECTURE.md perf
     notes); matmul accumulation and BN statistics stay f32. dtype=float32 is
-    the reference-precision path (used by the composed numpy-oracle test)."""
+    the reference-precision path (used by the composed numpy-oracle test).
+
+    Point sharding: pass rows for the LOCAL slab in x/idx/point_valid and
+    the full (replicated) feature array as `src` — neighbor indices are
+    global, so gathers read src; set axis_name so BN statistics psum across
+    the slab axis and match the single-device values."""
 
     layers: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, idx: jax.Array, point_valid: jax.Array, train: bool
+        self, x: jax.Array, idx: jax.Array, point_valid: jax.Array,
+        train: bool, src: jax.Array | None = None,
     ) -> jax.Array:
         n, k = idx.shape
         xb = x.astype(self.dtype)
-        nbr = xb[idx]  # (N, k, 9)
+        srcb = xb if src is None else src.astype(self.dtype)
+        nbr = srcb[idx]  # (N, k, 9)
         self_f = jnp.broadcast_to(xb[:, None, :], nbr.shape)
         feat = jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (N, k, 18)
         mask = jnp.broadcast_to(point_valid[:, None], (n, k))
         h = nn.Dense(64, use_bias=False, dtype=self.dtype, name="conv1")(feat)
-        h = MaskedBatchNorm(name="bn1")(h, mask, train)
+        h = MaskedBatchNorm(name="bn1", axis_name=self.axis_name)(h, mask, train)
         h = _leaky(h).astype(self.dtype)
         if self.layers == 2:
             h = nn.Dense(64, use_bias=False, dtype=self.dtype, name="conv2")(h)
-            h = MaskedBatchNorm(name="bn2")(h, mask, train)
+            h = MaskedBatchNorm(name="bn2", axis_name=self.axis_name)(h, mask, train)
             h = _leaky(h).astype(self.dtype)
         h = jnp.max(h, axis=1).astype(jnp.float32)  # over k -> (N, 64)
         return jnp.where(point_valid[:, None], h, 0.0)
@@ -309,12 +327,23 @@ class SegGroupGNN(nn.Module):
     max_instances: int = 128
     compute_dtype: jnp.dtype = jnp.bfloat16  # edge-conv intermediate dtype;
     # float32 = reference precision (the composed-oracle test's configuration)
+    shard_axis: str | None = None  # point-axis sharding (context-parallel
+    # analog, SURVEY.md §5): when set, the model must run INSIDE a shard_map
+    # over a mesh axis of this name with `shard_count` devices. The scene
+    # stays replicated; each device computes the fat edge-conv intermediates
+    # ((N, k, C) — the dominant per-scene memory term) for only its N/D point
+    # slab, psums BN statistics, and all-gathers the (N, 64) result. Slot-
+    # space work (grouping, GCN, classifier) is replicated. See
+    # parallel/point_sharding.py for the step builders + equivalence tests.
+    shard_count: int = 1
 
     def setup(self):
         self.mlp_1 = MLP1()
-        self.mlp_2 = EdgeConvBlock(layers=1, dtype=self.compute_dtype)
+        self.mlp_2 = EdgeConvBlock(layers=1, dtype=self.compute_dtype,
+                                   axis_name=self.shard_axis)
         self.gcn_2 = GCN(192)
-        self.mlp_3 = EdgeConvBlock(layers=2, dtype=self.compute_dtype)
+        self.mlp_3 = EdgeConvBlock(layers=2, dtype=self.compute_dtype,
+                                   axis_name=self.shard_axis)
         self.gcn_3 = GCN(256)
         self.classifier = Classifier()
 
@@ -435,7 +464,8 @@ class SegGroupGNN(nn.Module):
         center = segment_mean(pts[:, :3], roots, s)  # (S, 3)
         centered = pts[:, :3] - center[jnp.minimum(roots, s - 1)]
         data9 = jnp.concatenate([pts, centered], axis=-1)  # (N, 9)
-        point_feat = mlp(data9, knn_idx, pt_valid, train)  # (N, 64)
+        point_feat = self._point_edge_conv(mlp, data9, knn_idx, pt_valid,
+                                           train)  # (N, 64)
         pooled = segment_max(point_feat, jnp.where(pt_valid, roots, s), s)  # (S, 64)
         feat = jnp.concatenate([feat_in, pooled], axis=-1)
 
@@ -448,6 +478,24 @@ class SegGroupGNN(nn.Module):
         g, _ = self._group(g, edges, ev, jax.lax.stop_gradient(d), self.th_semantic)
         edges, ev = gr.normalize_edges(g, edges, ev)
         return feat, g, edges, ev, act_before
+
+    def _point_edge_conv(self, mlp, data9, knn_idx, pt_valid, train):
+        """Run the per-point edge conv; with shard_axis set, each device
+        computes its own N/D slab (indices are global, gathers read the
+        replicated data9) and the slabs are all-gathered back. The fat
+        (N/D, k, 2C) intermediates are the only sharded tensors, so peak
+        per-device memory for the dominant term drops by shard_count."""
+        if self.shard_axis is None:
+            return mlp(data9, knn_idx, pt_valid, train)
+        n = data9.shape[0]
+        assert n % self.shard_count == 0, (n, self.shard_count)
+        nl = n // self.shard_count
+        i0 = jax.lax.axis_index(self.shard_axis) * nl
+        d9_l = jax.lax.dynamic_slice_in_dim(data9, i0, nl, 0)
+        idx_l = jax.lax.dynamic_slice_in_dim(knn_idx, i0, nl, 0)
+        v_l = jax.lax.dynamic_slice_in_dim(pt_valid, i0, nl, 0)
+        pf_l = mlp(d9_l, idx_l, v_l, train, src=data9)  # (N/D, 64)
+        return jax.lax.all_gather(pf_l, self.shard_axis, axis=0, tiled=True)
 
     def _group(self, g, edges, ev, dists, th):
         fn = (gr.group_nearby_clusters_sequential if self.sequential

@@ -51,11 +51,11 @@ def test_minkunet_overfits_tiny_scene():
     coords[:n, 3] = rows % 24
     labels = np.zeros(m_cap, np.int32)
     labels[:n] = rng.integers(0, classes, n)
-    # feats carry the label signal through noise — learnable, not trivial
+    # feats carry the label signal through noise — learnable, not trivial:
+    # 6 classes encoded as +/- one-hot over 3 channels
+    code = np.concatenate([np.eye(3), -np.eye(3)]).astype(np.float32)
     feats = np.zeros((m_cap, 3), np.float32)
-    feats[:n] = (np.eye(classes)[labels[:n], :3]
-                 + 0.3 * np.eye(classes)[labels[:n], 3:]
-                 + rng.normal(0, 0.25, (n, 3)))
+    feats[:n] = code[labels[:n]] + rng.normal(0, 0.25, (n, 3))
     valid = np.zeros(m_cap, bool)
     valid[:n] = True
     st = SparseTensor(jnp.asarray(coords), jnp.asarray(feats),
@@ -199,7 +199,7 @@ def test_pointgroup_overfits_and_clusters():
     valid[:n_valid] = True
     bids = np.zeros(n, np.int32)
     colors = np.zeros((n, 3), np.float32)
-    colors[:n_valid] = (np.eye(5)[labels[:n_valid], :3]
+    colors[:n_valid] = (np.eye(3)[labels[:n_valid] - 2]
                         + rng.normal(0, 0.2, (n_valid, 3)))
 
     icoords = np.floor(coords / 0.05).astype(np.int32)
@@ -233,34 +233,44 @@ def test_pointgroup_overfits_and_clusters():
     opt = optax.adam(2e-3)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, stats, opt_state, key):
-        def loss_fn(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": stats}, st, vm.point2voxel,
-                jc, jb, jv, do_clustering=True, train=True, jitter_rng=key,
-                mutable=["batch_stats"])
-            total, aux = pointgroup_loss(
-                out, jl, ji, jcen, jpn, jc, jv, num_instances_cap=16,
-                with_score=True)
-            return total, (mut["batch_stats"], aux)
+    def make_step(do_clustering):
+        @jax.jit
+        def train_step(params, stats, opt_state, key):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": stats}, st, vm.point2voxel,
+                    jc, jb, jv, do_clustering=do_clustering, train=True,
+                    jitter_rng=key, mutable=["batch_stats"])
+                total, aux = pointgroup_loss(
+                    out, jl, ji, jcen, jpn, jc, jv, num_instances_cap=16,
+                    with_score=do_clustering)
+                return total, (mut["batch_stats"], aux)
 
-        (loss, (new_stats, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_stats, opt_state,
-                loss)
+            (loss, (new_stats, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_stats,
+                    opt_state, loss)
+        return train_step
 
+    # the reference's own curriculum: semantic + offset losses only until
+    # prepare_epochs, then clustering + ScoreNet (pointgroup run2 yaml
+    # prepare_epochs 128 of 384)
     key = jax.random.PRNGKey(2)
-    first = last = None
-    for i in range(80):
-        params, stats, opt_state, loss = train_step(params, stats,
-                                                    opt_state,
-                                                    jax.random.fold_in(key, i))
+    prep_step = make_step(False)
+    first = None
+    for i in range(200):
+        params, stats, opt_state, loss = prep_step(params, stats, opt_state,
+                                                   jax.random.fold_in(key, i))
         if i == 0:
             first = float(loss)
     last = float(loss)
-    assert last < first, f"loss did not decrease: {first} -> {last}"
+    assert last < first, f"prep loss did not decrease: {first} -> {last}"
+    full_step = make_step(True)
+    for i in range(20):
+        params, stats, opt_state, loss = full_step(
+            params, stats, opt_state, jax.random.fold_in(key, 1000 + i))
+    assert np.isfinite(float(loss))
 
     out = model.apply({"params": params, "batch_stats": stats}, st,
                       vm.point2voxel, jc, jb, jv, do_clustering=True,

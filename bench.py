@@ -185,7 +185,8 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
                                               make_pg_batch, pack_pg_batch,
                                               unpack_pg_batch)
     from seggroup_tpu.data.synthetic import make_synthetic_scene
-    from seggroup_tpu.models.pointgroup import PointGroup, pointgroup_loss
+    from seggroup_tpu.models.pointgroup import (PointGroup, pg_score_targets,
+                                                pointgroup_loss)
     from seggroup_tpu.ops.voxelize import VoxelMap, voxel_gather_mean
     from seggroup_tpu.sparse.tensor import SparseTensor
     from seggroup_tpu.utils.prefetch import HostPrefetcher
@@ -268,7 +269,58 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
-    train_step = jax.jit(_pg_step_body)
+    # cluster-split step (models/pointgroup.py split-program mode): program A
+    # = forward + dual clustering + score-voxelization plan, NO grad; program
+    # B = grad step with the discrete plan injected. Gradients are exactly
+    # the fused step's (tests/test_pointgroup.py::
+    # test_split_program_matches_fused); each program lowers to ~60% of the
+    # fused 5 MB StableHLO, which is what the XLA:TPU compile helper can
+    # actually build at pts=2^19/vox=2^18 (the fused program OOMs it).
+    def _pg_prog_a_body(params, stats, st, p2v, plan, coords, bids, valid,
+                        inst, pointnum, key):
+        (out_a, score_ctx), _ = model.apply(
+            {"params": params, "batch_stats": stats}, st, p2v, coords, bids,
+            valid, do_clustering=True, train=True, jitter_rng=key,
+            proposals_only=True, plan=plan, mutable=["batch_stats"])
+        gts = pg_score_targets(
+            out_a.proposal_of_point, out_a.proposal_valid.shape[0], inst,
+            valid, pointnum, instance_cap)
+        return out_a, score_ctx, gts
+
+    prog_a = jax.jit(_pg_prog_a_body)
+
+    def _pg_grad_body(params, stats, opt_state, st, p2v, plan, coords, bids,
+                      valid, labels, inst, centroid, pointnum, pop, pvalid,
+                      nump, score_ctx, gts):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": stats}, st, p2v, coords, bids,
+                valid, do_clustering=True, train=True,
+                score_plan=(pop, pvalid, nump, score_ctx),
+                mutable=["batch_stats"], plan=plan)
+            total, _ = pointgroup_loss(
+                out, labels, inst, centroid, pointnum, coords, valid,
+                num_instances_cap=instance_cap, with_score=True,
+                gt_scores=gts)
+            return total, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn,
+                                                      has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    prog_b = jax.jit(_pg_grad_body)
+
+    def _pg_step_split(params, stats, opt_state, st, p2v, plan, coords, bids,
+                       valid, labels, inst, centroid, pointnum, key):
+        out_a, score_ctx, gts = prog_a(params, stats, st, p2v, plan, coords,
+                                       bids, valid, inst, pointnum, key)
+        return prog_b(params, stats, opt_state, st, p2v, plan, coords, bids,
+                      valid, labels, inst, centroid, pointnum,
+                      out_a.proposal_of_point, out_a.proposal_valid,
+                      out_a.num_proposals, score_ctx, gts)
+
+    train_step = _pg_step_split if split_jit else jax.jit(_pg_step_body)
 
     key = jax.random.PRNGKey(1)
     params, stats, opt_state, loss = train_step(params, stats, opt_state,
@@ -292,14 +344,13 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
     if split_jit:
         prep_packed = jax.jit(
             lambda w: unpack_pg_batch(w, voxel_cap, level_caps))
-        step_jit = jax.jit(_pg_step_body)
 
         def train_step_packed(params, stats, opt_state, w, key):
             (st, p2v, coords, bids, valid, labels, inst, centroid, pointnum,
              plan) = prep_packed(w)
-            return step_jit(params, stats, opt_state, st, p2v, plan, coords,
-                            bids, valid, labels, inst, centroid, pointnum,
-                            key)
+            return _pg_step_split(params, stats, opt_state, st, p2v, plan,
+                                  coords, bids, valid, labels, inst,
+                                  centroid, pointnum, key)
     else:
         @jax.jit
         def train_step_packed(params, stats, opt_state, w, key):
@@ -646,13 +697,18 @@ SECTIONS = {
     # remote helper are minutes each; warm (the normal driver case, cache
     # in-repo at .jax_cache) every section is well under 120 s.
     "cpu_baseline": (_run_cpu_baseline, 240),
-    "stage1": (_run_stage1, 600),
+    "stage1": (_run_stage1, 900),
     "stage1_fast": (_run_stage1_fast, 480),
     "minkunet": (_run_minkunet, 600),
     "minkunet_big": (_run_minkunet_big, 600),
     "kpconv": (_run_kpconv, 600),
     "pointgroup": (_run_pointgroup, 900),
     "pointgroup_half": (_run_pointgroup_half, 600),  # fallback only
+    # test-only sections (never in SECTION_ORDER): exercise the
+    # orchestrator's timeout/crash/budget paths in milliseconds
+    "_test_fast": (lambda: {"ok": 1}, 60),
+    "_test_slow": (lambda: time.sleep(30) or {"ok": 1}, 2),
+    "_test_crash": (lambda: 1 // 0, 60),
 }
 
 # run order: headline + cheap first, largest programs last
@@ -746,7 +802,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default=None, help="child mode: run one "
                     "section and print its payload")
-    ap.add_argument("--budget_s", type=float, default=1500.0,
+    ap.add_argument("--budget_s", type=float, default=1200.0,
                     help="global wall-clock budget; sections that don't fit "
                     "are recorded as skipped, never killed at rc 124")
     ap.add_argument("--sections", default=None,
@@ -804,8 +860,10 @@ def main(argv=None):
         if name == "pointgroup" and not ok and \
                 "skipped: budget" not in errors.get(name, ""):
             run_child("pointgroup_half")
-
-    print(json.dumps(_assemble(results, errors)), flush=True)
+        # cumulative combined line after EVERY section: the driver parses
+        # the LAST stdout JSON line, so even a hard external kill (the r03
+        # rc-124 mode) leaves the most complete snapshot parseable
+        print(json.dumps(_assemble(results, errors)), flush=True)
 
 
 if __name__ == "__main__":

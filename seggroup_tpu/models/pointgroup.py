@@ -75,11 +75,17 @@ class ResidualBlock(nn.Module):
 
 
 class UBlock(nn.Module):
-    """Recursive U-Net (reference pointgroup.py:64-110)."""
+    """Recursive U-Net (reference pointgroup.py:64-110).
+
+    key_xy_bits: rulebook key packing widths (sparse/hashing.pack_keys).
+    The ScoreNet instantiation narrows them to (5, 5): its "batch" column is
+    a proposal id < 512, which overflows the default 3 batch bits and
+    silently aliases rulebook rows across proposals (period 16)."""
 
     n_planes: Sequence[int]
     block_reps: int = 2
     level_caps: Sequence[int] | None = None
+    key_xy_bits: tuple = (14, 14)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool,
@@ -94,7 +100,7 @@ class UBlock(nn.Module):
             rb = plan["rulebooks"][0]
             win = plan["windows"][0] if "windows" in plan else None
         else:
-            rb = build_subm_rulebook(st, 3)
+            rb = build_subm_rulebook(st, 3, xy_bits=self.key_xy_bits)
             win = None
         for i in range(self.block_reps):
             st = ResidualBlock(planes[0], name=f"block{i}")(st, rb, train, win)
@@ -114,7 +120,8 @@ class UBlock(nn.Module):
             else:
                 st_dn, key = strided_conv_down(st.with_feats(h), w, caps[1])
                 sub_plan = None
-            st_dn = UBlock(planes[1:], self.block_reps, caps[1:], name="u")(
+            st_dn = UBlock(planes[1:], self.block_reps, caps[1:],
+                           self.key_xy_bits, name="u")(
                 st_dn, train, sub_plan
             )
             h = SparseBatchNorm(0.1, 1e-4, name="deconv_bn")(
@@ -177,11 +184,29 @@ class PointGroup(nn.Module):
         train: bool = True,
         jitter_rng: jax.Array | None = None,
         plan: dict | None = None,
-    ) -> PGOutput:
+        proposals_only: bool = False,
+        score_plan: tuple | None = None,
+    ):
         """`plan` (optional): 7-level host plan (sparse/plan.py
         build_unet_plan over the main UNet's voxel coords). The ScoreNet's
         small UBlock always builds on device — its voxelization depends on
-        the predicted proposals, which the host cannot know ahead."""
+        the predicted proposals, which the host cannot know ahead.
+
+        Split-program mode (big-scene compile relief — the fused train step
+        at pts=2^19/vox=2^18 lowers to ~5 MB StableHLO and OOMs the XLA:TPU
+        compiler): gradients never flow through the discrete cluster
+        assignment (the reference's BFS runs detached on CPU,
+        pointgroup.py:293-301), so the step splits exactly into
+          A) `proposals_only=True`: forward + dual clustering + proposal
+             re-voxelization GEOMETRY; returns (PGOutput-with-zero-scores,
+             score_vox VoxelMap). No gradients taken through this program.
+          B) `score_plan=(proposal_of_point, proposal_valid, num_proposals,
+             score_vox)`: same forward, but clustering + score-voxelization
+             geometry replaced by the injected plan; runs the ScoreNet and
+             returns the full PGOutput. Differentiate THIS program.
+        Both programs see identical params/stats, so A's proposals equal the
+        ones B's fused equivalent would compute; grads are bit-identical to
+        the fused step (indices are stop-gradient there too)."""
         m = self.m
         planes = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m, 7 * m]
 
@@ -221,6 +246,15 @@ class PointGroup(nn.Module):
                 jnp.full((2, n), p_total, jnp.int32),
                 jnp.zeros((p_total,), bool), jnp.int32(0),
             )
+
+        if score_plan is not None:
+            proposal_of_point, proposal_valid, num_proposals, score_ctx = \
+                score_plan
+            prop_a, prop_b = proposal_of_point[0], proposal_of_point[1]
+            return self._score_branch(
+                point_feats, semantic_scores, pt_offsets, coords, prop_a,
+                prop_b, proposal_of_point, proposal_valid, num_proposals,
+                score_ctx["vox"], train, score_ctx.get("unet_plan"))
 
         sem_pred = jnp.argmax(semantic_scores, axis=-1).astype(jnp.int32)
         # exclude wall/floor (classes 0, 1; reference pointgroup.py:285)
@@ -296,6 +330,40 @@ class PointGroup(nn.Module):
 
         vmap_s = voxelize(icoords, jnp.where(fv, flat_prop, p_total),
                           fv, self.score_cap)
+        if proposals_only:
+            # the ScoreNet's rulebooks/down-maps are functions of the (now
+            # known) proposal voxelization only — build them here so the grad
+            # program carries no sort at all (see class docstring)
+            from seggroup_tpu.sparse.device_plan import build_unet_plan_device
+
+            score_ctx = {
+                "vox": vmap_s,
+                "unet_plan": build_unet_plan_device(
+                    vmap_s.voxel_coords, vmap_s.num_voxels,
+                    (self.score_cap, self.score_cap // 2),
+                    with_windows=False, xy_bits=(5, 5)),
+            }
+            return PGOutput(
+                semantic_scores, pt_offsets, jnp.zeros((p_total,)),
+                proposal_of_point, proposal_valid, num_proposals), score_ctx
+        return self._score_branch(
+            point_feats, semantic_scores, pt_offsets, coords, prop_a, prop_b,
+            proposal_of_point, proposal_valid, num_proposals, vmap_s, train,
+            None)
+
+    def _score_branch(self, point_feats, semantic_scores, pt_offsets, coords,
+                      prop_a, prop_b, proposal_of_point, proposal_valid,
+                      num_proposals, vmap_s, train,
+                      score_unet_plan=None) -> PGOutput:
+        """ScoreNet over the (given) proposal voxelization. Submodules are
+        created here from the compact __call__ frame — same names either
+        path, so the param tree is identical fused vs split."""
+        m = self.m
+        n = coords.shape[0]
+        p_total = 2 * self.max_proposals_per_source
+        flat_prop = jnp.concatenate([prop_a, prop_b])  # (2N,)
+        flat_pt = jnp.tile(jnp.arange(n, dtype=jnp.int32), 2)
+        fv = flat_prop < p_total
         pf_s = (jax.lax.stop_gradient(point_feats)
                 if self.score_stop_gradient else point_feats)
         flat_feats = pf_s[flat_pt]
@@ -308,7 +376,9 @@ class PointGroup(nn.Module):
         if not self.skip_score_unet:
             st_score = UBlock([m, 2 * m], 2,
                               [self.score_cap, self.score_cap // 2],
-                              name="score_unet")(st_score, train)
+                              key_xy_bits=(5, 5),
+                              name="score_unet")(st_score, train,
+                                                 score_unet_plan)
         hs = SparseBatchNorm(0.1, 1e-4, name="score_bn")(
             st_score.feats, st_score.valid, train
         )
@@ -331,6 +401,35 @@ class PointGroup(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def pg_score_targets(
+    proposal_of_point: jax.Array,  # (2, N); ids == p_total mark "none"
+    p_total: int,
+    instance_labels: jax.Array,    # (N,) 0..I-1, IGNORE
+    point_valid: jax.Array,
+    instance_pointnum: jax.Array,  # (I,)
+    num_instances_cap: int,
+    fg_thresh: float = 0.75,
+    bg_thresh: float = 0.25,
+) -> jax.Array:
+    """(P,) IoU-binned soft score targets (reference get_segmented_scores,
+    pointgroup.py:499-513). Pure data — no parameter dependence — so the
+    split-program trainer computes this in program A and injects it into the
+    grad program via pointgroup_loss(gt_scores=...)."""
+    n = instance_labels.shape[0]
+    flat_prop = jnp.concatenate([proposal_of_point[0], proposal_of_point[1]])
+    flat_pt = jnp.tile(jnp.arange(n, dtype=jnp.int32), 2)
+    flat_inst = instance_labels[flat_pt]
+    flat_ok = (flat_prop < p_total) & point_valid[flat_pt]
+    ious = proposal_instance_iou(
+        flat_prop, jnp.where(flat_inst == IGNORE, -1, flat_inst), flat_ok,
+        p_total, num_instances_cap, instance_sizes=instance_pointnum,
+    )
+    gt_ious = jnp.max(ious, axis=1)  # (P,)
+    k = 1.0 / (fg_thresh - bg_thresh)
+    b = bg_thresh / (bg_thresh - fg_thresh)
+    return jnp.clip(gt_ious * k + b, 0.0, 1.0)
+
+
 def pointgroup_loss(
     out: PGOutput,
     labels: jax.Array,            # (N,) 0..classes-1, IGNORE
@@ -344,6 +443,7 @@ def pointgroup_loss(
     fg_thresh: float = 0.75,
     bg_thresh: float = 0.25,
     loss_weight=(1.0, 1.0, 1.0, 1.0),
+    gt_scores: jax.Array | None = None,
 ):
     classes = out.semantic_scores.shape[-1]
     ok = point_valid & (labels != IGNORE)
@@ -372,21 +472,11 @@ def pointgroup_loss(
            "offset_dir_loss": offset_dir_loss}
 
     if with_score:
-        n = coords.shape[0]
-        p_total = out.proposal_valid.shape[0]
-        flat_prop = jnp.concatenate([out.proposal_of_point[0],
-                                     out.proposal_of_point[1]])
-        flat_pt = jnp.tile(jnp.arange(n, dtype=jnp.int32), 2)
-        flat_inst = instance_labels[flat_pt]
-        flat_ok = (flat_prop < p_total) & point_valid[flat_pt]
-        ious = proposal_instance_iou(
-            flat_prop, jnp.where(flat_inst == IGNORE, -1, flat_inst), flat_ok,
-            p_total, num_instances_cap, instance_sizes=instance_pointnum,
-        )
-        gt_ious = jnp.max(ious, axis=1)  # (P,)
-        k = 1.0 / (fg_thresh - bg_thresh)
-        b = bg_thresh / (bg_thresh - fg_thresh)
-        gt_scores = jnp.clip(gt_ious * k + b, 0.0, 1.0)
+        if gt_scores is None:
+            gt_scores = pg_score_targets(
+                out.proposal_of_point, out.proposal_valid.shape[0],
+                instance_labels, point_valid, instance_pointnum,
+                num_instances_cap, fg_thresh, bg_thresh)
         pred = jax.nn.sigmoid(out.scores)
         bce = -(gt_scores * jnp.log(pred + 1e-12)
                 + (1 - gt_scores) * jnp.log(1 - pred + 1e-12))

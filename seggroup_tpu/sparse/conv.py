@@ -96,7 +96,8 @@ def region_offsets(conv_type: str, kernel_size: int = 3,
 
 def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
                         assume_sorted: bool = False,
-                        conv_type: str = "spatial_hypercube") -> jax.Array:
+                        conv_type: str = "spatial_hypercube",
+                        xy_bits: tuple[int, int] = (14, 14)) -> jax.Array:
     """(M, K) neighbor row index per kernel offset; == M where absent.
     Output sites == input sites (submanifold semantics).
 
@@ -118,7 +119,7 @@ def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
     if ndim == 3 and kernel_size == 3 and conv_type in (
             "hypercube", "spatial_hypercube",
             "spatial_hypercube_temporal_hypercross"):
-        return _build_subm_rulebook_k3(st, assume_sorted)
+        return _build_subm_rulebook_k3(st, assume_sorted, xy_bits)
     if ndim == 3 and conv_type in (
             "hypercube", "spatial_hypercube",
             "spatial_hypercube_temporal_hypercross"):
@@ -148,7 +149,8 @@ def _lower_bound(hi_sorted, lo_sorted, q_hi, q_lo):
     return lo_b
 
 
-def _k3_cols_joined(st: SparseTensor, hi_s, lo_s, tile: int):
+def _k3_cols_joined(st: SparseTensor, hi_s, lo_s, tile: int,
+                    xy_bits=(14, 14)):
     """(27, M) rulebook columns for the assume_sorted layout via the windowed
     sorted-join (sparse/merge_join.py). Returns (cols, ok): when ok is False
     (a tile's key window overflowed — adversarial density skew) the caller
@@ -156,12 +158,13 @@ def _k3_cols_joined(st: SparseTensor, hi_s, lo_s, tile: int):
     from seggroup_tpu.sparse.merge_join import windowed_join3
 
     m = st.capacity
+    yb = xy_bits[1]
     big_k = jnp.int32(jnp.iinfo(jnp.int32).max)
     dxy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     # per-group queries from the SORTED keys: (hi + c) preserves order; pad
     # rows pin to (BIG, BIG-4) so each group's query stream stays sorted and
     # q_lo + 3 cannot overflow
-    q_hi = jnp.stack([jnp.where(st.valid, hi_s + ((dx << 14) + dy), big_k)
+    q_hi = jnp.stack([jnp.where(st.valid, hi_s + ((dx << yb) + dy), big_k)
                       for dx, dy in dxy])            # (9, M)
     q_lo = jnp.broadcast_to(
         jnp.where(st.valid, lo_s - 1, big_k - 4)[None, :], (9, m))
@@ -179,9 +182,10 @@ def _k3_cols_joined(st: SparseTensor, hi_s, lo_s, tile: int):
 
 
 def _build_subm_rulebook_k3(st: SparseTensor,
-                            assume_sorted: bool = False) -> jax.Array:
+                            assume_sorted: bool = False,
+                            xy_bits=(14, 14)) -> jax.Array:
     m = st.capacity
-    hi, lo = pack_keys(st.coords)
+    hi, lo = pack_keys(st.coords, xy_bits)
     if assume_sorted:
         order = jnp.arange(m, dtype=jnp.int32)
         rank = order
@@ -189,7 +193,7 @@ def _build_subm_rulebook_k3(st: SparseTensor,
         hi_s = jnp.where(st.valid, hi, big_k)
         lo_s = jnp.where(st.valid, lo, big_k)
     else:
-        order, hi_s, lo_s = sort_coords(st.coords, st.valid)
+        order, hi_s, lo_s = sort_coords(st.coords, st.valid, xy_bits)
         rank = invert_permutation(order)
     order_pad = jnp.concatenate([order, jnp.full((1,), m, jnp.int32)])
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
@@ -198,21 +202,21 @@ def _build_subm_rulebook_k3(st: SparseTensor,
 
     def search_path():
         return _k3_cols_searched(st, hi, lo, hi_s, lo_s, order_pad, hi_pad,
-                                 lo_pad, rank)
+                                 lo_pad, rank, xy_bits)
 
     _tile = 512
     if assume_sorted and m % _tile == 0 and m >= 8 * _tile:
         # fast path: windowed sorted-join (sparse/merge_join.py) — positions
         # ARE row ids in the assume_sorted layout; lax.cond falls back to the
         # binary-search path on window overflow (exactness contract)
-        cols_j, ok = _k3_cols_joined(st, hi_s, lo_s, _tile)
+        cols_j, ok = _k3_cols_joined(st, hi_s, lo_s, _tile, xy_bits)
         nbr = jax.lax.cond(ok, lambda: cols_j, search_path)
         return nbr.T.astype(jnp.int32)
     return search_path().T.astype(jnp.int32)
 
 
 def _k3_cols_searched(st, hi, lo, hi_s, lo_s, order_pad, hi_pad, lo_pad,
-                      rank):
+                      rank, xy_bits=(14, 14)):
     """(27, M) columns via the vectorized binary-search path (the general
     path: works for any row order; the fallback when the windowed join's
     overflow check trips)."""
@@ -246,9 +250,11 @@ def _k3_cols_searched(st, hi, lo, hi_s, lo_s, order_pad, hi_pad, lo_pad,
     dxy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
            if (dx, dy) != (0, 0)]
 
+    yb = xy_bits[1]
+
     def per_group(shift):
         dx, dy = shift[0], shift[1]
-        q_hi = hi + (dx << 14) + dy
+        q_hi = hi + (dx << yb) + dy
         p0 = _lower_bound(hi_s, lo_s, q_hi, lo - 1)
         rows = resolve(p0, q_hi)  # list of 3 (M,)
         ok_xy = (st.coords[:, 1] + dx >= 0) & (st.coords[:, 2] + dy >= 0)

@@ -96,7 +96,8 @@ def build_windows_device(rulebook: jax.Array, tile: int, window: int):
 def build_unet_plan_device(coords: jax.Array, num: jax.Array,
                            level_caps: tuple[int, ...],
                            with_windows: bool = True,
-                           window_levels: int | None = None) -> dict:
+                           window_levels: int | None = None,
+                           xy_bits: tuple[int, int] = (14, 14)) -> dict:
     """Device twin of sparse/plan.build_unet_plan: coords (cap0, 4) int32 in
     lexicographic order with the first `num` rows valid -> the same plan
     pytree, built entirely on device (one jitted program, no host round
@@ -106,7 +107,8 @@ def build_unet_plan_device(coords: jax.Array, num: jax.Array,
     assert coords.shape[0] == level_caps[0], (coords.shape, level_caps)
     valid = jnp.arange(level_caps[0]) < num
     st = SparseTensor(coords, jnp.zeros((level_caps[0], 1)), valid, num)
-    rulebooks = [build_subm_rulebook(st, assume_sorted=True)]
+    rulebooks = [build_subm_rulebook(st, assume_sorted=True,
+                                     xy_bits=xy_bits)]
     down = []
     cur = st
     for cap_out in level_caps[1:]:
@@ -121,7 +123,8 @@ def build_unet_plan_device(coords: jax.Array, num: jax.Array,
                      "num": jnp.minimum(m_out, cap_out).astype(jnp.int32),
                      "out_row": out_row, "delta": delta})
         cur = SparseTensor(out_c, jnp.zeros((cap_out, 1)), valid_out, m_out)
-        rulebooks.append(build_subm_rulebook(cur, assume_sorted=True))
+        rulebooks.append(build_subm_rulebook(cur, assume_sorted=True,
+                                             xy_bits=xy_bits))
     plan = {"rulebooks": rulebooks, "down": down}
     if with_windows:
         windows = []

@@ -22,20 +22,30 @@ import jax.numpy as jnp
 __all__ = ["pack_keys", "sort_coords", "lookup"]
 
 
-def pack_keys(coords: jax.Array) -> tuple[jax.Array, jax.Array]:
+def pack_keys(coords: jax.Array,
+              xy_bits: tuple[int, int] = (14, 14)) -> tuple[jax.Array, jax.Array]:
     """coords (M, 4) or (M, 5) int32 -> (hi, lo) int32 keys. A 5th column
-    is a temporal frame index t < 512 packed into the low key."""
+    is a temporal frame index t < 512 packed into the low key.
+
+    xy_bits = (x_bits, y_bits): hi = (b << (x_bits+y_bits)) | (x << y_bits)
+    | y, so batch must stay < 2^(31 - x_bits - y_bits). The default leaves
+    only 3 batch bits — id spaces bigger than 8 (e.g. PointGroup's ScoreNet,
+    where the "batch" column is a proposal id < 256) MUST narrow xy_bits or
+    hi aliases with period 2^(32 - x_bits - y_bits) and rulebooks silently
+    mix rows across batches."""
     b, x, y, z = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
-    hi = (b << 28) | (x << 14) | y
+    xb, yb = xy_bits
+    hi = (b << (xb + yb)) | (x << yb) | y
     if coords.shape[1] == 5:
         return hi, (z << 9) | coords[:, 4]
     return hi, z
 
 
-def sort_coords(coords: jax.Array, valid: jax.Array):
+def sort_coords(coords: jax.Array, valid: jax.Array,
+                xy_bits: tuple[int, int] = (14, 14)):
     """Returns (order, hi_sorted, lo_sorted): lexicographic order with invalid
     rows last (their keys are int32 max)."""
-    hi, lo = pack_keys(coords)
+    hi, lo = pack_keys(coords, xy_bits)
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
     hi = jnp.where(valid, hi, big)
     lo = jnp.where(valid, lo, big)

@@ -111,6 +111,172 @@ def _fwd_kernel(base_ref, rbl_ref, f_ref, w_ref, out_ref, win_buf, sems):
     out_ref[:] = acc
 
 
+# --- chunked one-hot variant (A/B experiment, docs/ARCHITECTURE.md plan of
+# record for the ~5.6 ms/conv floor) ------------------------------------------
+#
+# The full-width kernel pays a (3T, W) x (W, Cin) one-hot dot per group —
+# W*Cin MACs per selected row. But window-local indices are NONDECREASING
+# within each dz block of a sorted tile, so a 64-row chunk's indices span
+# ~W/12 rows: one-hot each chunk against a 128-row dynamic slice of the VMEM
+# window instead (located by a precomputed per-chunk base), cutting one-hot
+# MACs and iota-build work 4x. Chunks whose span exceeds 128 (local density
+# spikes) are EXACTLY repaired by a per-group correction pass: their entries
+# are zeroed out of the narrow one-hots (no match past the slice) and
+# re-gathered with a full-width one-hot restricted to the dropped rows,
+# gated by a per-(tile, group) bit so the common case never pays it.
+#
+# Per-chunk bases ride in SMEM packed 4-per-int32 in 16-row units
+# (12 chunks x 9 groups = 27 words/tile; 2048 tiles -> 221 KB, inside the
+# 1 MB SMEM budget where raw int32 bases would not be).
+
+CHUNK = 64  # rows per narrow one-hot; must divide TILE
+CSLICE = 128  # window-slice rows each chunk gathers against
+
+
+def _chunk_plan(rb_local, n_tiles, tile, window):
+    """(chunk_words (n_tiles*27,) int32, left_mask (n_tiles,) int32).
+    Pure jnp — runs fused into the surrounding jit, ~one pass over rb."""
+    n_c = tile // CHUNK                      # chunks per dz block
+    r = rb_local.reshape(n_tiles, 3, n_c, CHUNK, 9)
+    valid = r < window
+    rmin = jnp.min(jnp.where(valid, r, window), axis=3)  # (nt, 3, n_c, 9)
+    rmax = jnp.max(jnp.where(valid, r, -1), axis=3)
+    base = jnp.minimum(rmin & ~15, window - CSLICE)
+    dropped = rmax - base >= CSLICE                      # (nt, 3, n_c, 9)
+    left = jnp.any(dropped, axis=(1, 2))                 # (nt, 9)
+    left_mask = jnp.sum(
+        left.astype(jnp.int32) << jnp.arange(9, dtype=jnp.int32)[None, :],
+        axis=1).astype(jnp.int32)
+    # pack offsets [t][g][dz*n_c+cc] as u8 16-row units, 4 per int32
+    offs = (base >> 4).transpose(0, 3, 1, 2).reshape(n_tiles, 9, 3 * n_c)
+    o4 = offs.reshape(n_tiles, 9, (3 * n_c) // 4, 4)
+    words = (o4[..., 0] | (o4[..., 1] << 8) | (o4[..., 2] << 16)
+             | (o4[..., 3] << 24)).reshape(n_tiles, -1)
+    return words.reshape(-1).astype(jnp.int32), left_mask
+
+
+def _fwd_kernel_chunked(base_ref, chunk_ref, left_ref, rbl_ref, f_ref, w_ref,
+                        out_ref, win_buf, sems, *, window):
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    tile = rbl_ref.shape[0] // 3
+    n_c = tile // CHUNK
+    words_per_g = (3 * n_c) // 4
+
+    @pl.when(t == 0)
+    def _():
+        _start_tile(f_ref, win_buf, sems, base_ref, 0, 0, window)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _start_tile(f_ref, win_buf, sems, base_ref, t + 1, (t + 1) % 2,
+                    window)
+
+    slot = t % 2
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CSLICE), 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(9):
+        _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window).wait()
+        chunks = []
+        for c in range(3 * n_c):
+            word = chunk_ref[t * 9 * words_per_g + g * words_per_g + c // 4]
+            base = pl.multiple_of(((word >> (8 * (c % 4))) & 0xFF) << 4, 16)
+            sl = win_buf[slot, g, pl.ds(base, CSLICE), :]
+            rc = rbl_ref[c * CHUNK:(c + 1) * CHUNK, g]
+            oh = (iota_c == (rc - base)[:, None]).astype(sl.dtype)
+            chunks.append(jnp.dot(oh, sl,
+                                  preferred_element_type=jnp.float32))
+        rows = jnp.concatenate(chunks, axis=0).astype(win_buf.dtype)
+        for dz in range(3):
+            acc = acc + jnp.dot(rows[dz * tile:(dz + 1) * tile],
+                                w_ref[3 * g + dz],
+                                preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+    # exact repair for over-span chunks, gated per (tile, group)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (3 * tile, window), 1)
+    for g in range(9):
+        bit = (left_ref[t] >> g) & 1
+
+        @pl.when(bit == 1)
+        def _(g=g):
+            win = win_buf[slot, g]
+            # 2-D (CHUNK, 1) pieces: Mosaic can't concatenate 1-D i1 vectors
+            # ("input offsets outside of the first tile")
+            masks = []
+            for c in range(3 * n_c):
+                word = chunk_ref[t * 9 * words_per_g + g * words_per_g
+                                 + c // 4]
+                base = ((word >> (8 * (c % 4))) & 0xFF) << 4
+                rc = rbl_ref[c * CHUNK:(c + 1) * CHUNK, g]
+                masks.append(((rc < window)
+                              & (rc - base >= CSLICE))[:, None])
+            dropped = jnp.concatenate(masks, axis=0)      # (3T, 1)
+            r = rbl_ref[:, g]
+            oh = ((iota_w == r[:, None]) & dropped).astype(win.dtype)
+            rows = jnp.dot(oh, win,
+                           preferred_element_type=jnp.float32).astype(win.dtype)
+            corr = jnp.zeros(out_ref.shape, jnp.float32)
+            for dz in range(3):
+                corr = corr + jnp.dot(rows[dz * tile:(dz + 1) * tile],
+                                      w_ref[3 * g + dz],
+                                      preferred_element_type=jnp.float32)
+            out_ref[:] = out_ref[:] + corr
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "tile", "window"))
+def subm_conv_windowed_chunked(feats, weights, rb_local, win_base,
+                               compute_dtype=jnp.bfloat16, tile=TILE,
+                               window=WINDOW):
+    """Chunked-one-hot forward (same contract as subm_conv_windowed; exact,
+    including over-span chunks via the gated repair pass). Cin > 64 only —
+    narrow channels should keep the lane-packed kernel."""
+    m, cin = feats.shape
+    cout = weights.shape[2]
+    assert m % tile == 0 and tile % CHUNK == 0 and window % 16 == 0
+    n_tiles = m // tile
+    cin_p = _pad128(cin)
+    f = feats.astype(compute_dtype)
+    f_pad = jnp.zeros((m + window, cin_p), compute_dtype).at[:m, :cin].set(f)
+    if cin_p != cin:
+        weights = jnp.zeros((27, cin_p, cout),
+                            weights.dtype).at[:, :cin, :].set(weights)
+    cin = cin_p
+    chunk_words, left_mask = _chunk_plan(rb_local, n_tiles, tile, window)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3 * tile, 9), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, window, cin), compute_dtype),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+    )
+    kern = functools.partial(_fwd_kernel_chunked, window=window)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, cout), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * 27 * cin * (CSLICE + cout),
+            bytes_accessed=9 * n_tiles * window * cin * 2 + m * 27 * 4
+            + m * cout * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(win_base.reshape(-1), chunk_words, left_mask, rb_local, f_pad,
+      weights.astype(compute_dtype))
+
+
 # --- lane-packed variant (true Cin <= 64) ------------------------------------
 #
 # Narrow channels waste the one-hot: the window's lane dim must pad to 128,
@@ -291,6 +457,15 @@ def subm_conv_windowed(feats, weights, rb_local, win_base,
     if shift:
         return _subm_conv_windowed_packed(feats, weights, rb_local, win_base,
                                           compute_dtype, tile, window, shift)
+    if (tile % CHUNK == 0 and (3 * (tile // CHUNK)) % 4 == 0
+            and window >= CSLICE and window % 16 == 0):
+        # chunked one-hot: ~1.4x the full-width kernel measured IN-PROGRAM
+        # (3.2 vs 4.5 ms/conv at M=2^17 Cin=Cout=128 W=384 on v5e; the
+        # per-dispatch A/B that showed no gain was tunnel-latency-bound).
+        # Exact, incl. over-span chunks (gated repair pass; tested vs full).
+        return subm_conv_windowed_chunked(feats, weights, rb_local, win_base,
+                                          compute_dtype=compute_dtype,
+                                          tile=tile, window=window)
     cin_p = _pad128(cin)
     f = feats.astype(compute_dtype)
     f_pad = jnp.zeros((m + window, cin_p), compute_dtype).at[:m, :cin].set(f)

@@ -33,3 +33,33 @@ def test_bench_pointgroup_section_tiny():
         point_cap=2 ** 13, voxel_cap=2 ** 12, batch_size=2, iters=1)
     assert np.isfinite(dev) and np.isfinite(pipe)
     assert dev > 0 and pipe > 0
+
+
+def test_bench_orchestrator_survives_timeout_and_crash(capsys):
+    """The r03 failure mode: one slow/broken section must not cost the
+    artifact. A section that exceeds its cap is recorded as a timeout skip, a
+    crashing section as an error, and the final stdout line is still a
+    complete JSON document containing the sections that DID finish."""
+    import json
+
+    bench.main(["--sections", "_test_fast,_test_slow,_test_crash",
+                "--budget_s", "120"])
+    out = capsys.readouterr().out.strip().splitlines()
+    doc = json.loads(out[-1])
+    errors = doc["detail"]["errors"]
+    assert "timeout" in errors["_test_slow"]
+    assert "rc 1" in errors["_test_crash"]
+    # a combined line was printed after EVERY section, so even a hard
+    # external kill mid-run would have left a parseable snapshot
+    assert len([ln for ln in out if ln.startswith("{")]) == 3
+
+
+def test_bench_orchestrator_budget_skip(capsys):
+    """With the global budget exhausted, remaining sections are recorded as
+    'skipped: budget' instead of the run dying at rc 124."""
+    import json
+
+    bench.main(["--sections", "_test_fast", "--budget_s", "0"])
+    out = capsys.readouterr().out.strip().splitlines()
+    doc = json.loads(out[-1])
+    assert doc["detail"]["errors"]["_test_fast"] == "skipped: budget"

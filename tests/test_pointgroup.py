@@ -143,3 +143,81 @@ def test_prepare_mode_no_clustering(batch, model_and_vars):
     )
     assert np.isfinite(float(total))
     assert "score_loss" not in aux
+
+
+@pytest.mark.slow
+def test_split_program_matches_fused(batch, model_and_vars, monkeypatch):
+    """proposals_only + score_plan two-program step == fused step: identical
+    discrete proposals, and (at f32 conv compute) identical loss and grads.
+    Gradients never flow through the discrete cluster assignment (the
+    reference's BFS runs detached on CPU, pointgroup.py:293-301), so the
+    split is exact; with the production bf16 conv compute the two programs
+    fuse differently and only agree to bf16 noise, hence the f32 pin here."""
+    import functools
+
+    import seggroup_tpu.models.minkunet as mk
+    import seggroup_tpu.sparse.conv as sconv
+
+    monkeypatch.setattr(
+        mk, "subm_conv",
+        functools.partial(sconv.subm_conv, compute_dtype=jnp.float32))
+
+    model, variables = model_and_vars
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    key = jax.random.PRNGKey(2)
+
+    def fused_fwd(p):
+        return model.apply(
+            {"params": p, "batch_stats": stats}, batch["st"], batch["p2v"],
+            batch["coords"], batch["batch_ids"], batch["valid"],
+            do_clustering=True, train=True, jitter_rng=key,
+            mutable=["batch_stats"])[0]
+
+    def fused_loss(p):
+        out = fused_fwd(p)
+        total, _ = pointgroup_loss(
+            out, batch["labels"], batch["inst"], batch["centroid"],
+            batch["pointnum"], batch["coords"], batch["valid"],
+            num_instances_cap=16, with_score=True)
+        return total
+
+    # program A: forward + clustering + score-voxelization plan (no grad)
+    (out_a, score_ctx), _ = jax.jit(
+        lambda p: model.apply(
+            {"params": p, "batch_stats": stats}, batch["st"], batch["p2v"],
+            batch["coords"], batch["batch_ids"], batch["valid"],
+            do_clustering=True, train=True, jitter_rng=key,
+            proposals_only=True, mutable=["batch_stats"])
+    )(params)
+
+    # discrete artifacts equal the fused program's
+    out_f = jax.jit(fused_fwd)(params)
+    np.testing.assert_array_equal(np.asarray(out_a.proposal_of_point),
+                                  np.asarray(out_f.proposal_of_point))
+    np.testing.assert_array_equal(np.asarray(out_a.proposal_valid),
+                                  np.asarray(out_f.proposal_valid))
+
+    # program B: grad step with the discrete plan injected
+    def split_loss(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats}, batch["st"], batch["p2v"],
+            batch["coords"], batch["batch_ids"], batch["valid"],
+            do_clustering=True, train=True,
+            score_plan=(out_a.proposal_of_point, out_a.proposal_valid,
+                        out_a.num_proposals, score_ctx),
+            mutable=["batch_stats"],
+        )
+        total, _ = pointgroup_loss(
+            out, batch["labels"], batch["inst"], batch["centroid"],
+            batch["pointnum"], batch["coords"], batch["valid"],
+            num_instances_cap=16, with_score=True,
+        )
+        return total
+
+    lf, gf = jax.jit(jax.value_and_grad(fused_loss))(params)
+    ls, gs = jax.jit(jax.value_and_grad(split_loss))(params)
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-6)
+    for kf, ks in zip(jax.tree.leaves(gf), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(kf), np.asarray(ks),
+                                   rtol=1e-4, atol=1e-5)

@@ -174,3 +174,27 @@ def test_subm_conv_bf16_close_to_f32(rng):
     full = np.asarray(subm_conv(st, w, rb, compute_dtype=jnp.float32))
     half = np.asarray(subm_conv(st, w, rb))  # bf16 default
     np.testing.assert_allclose(half, full, rtol=3e-2, atol=3e-2)
+
+
+def test_rulebook_wide_batch_ids_narrow_keys(rng):
+    """Batch ids >= 8 overflow the default (14,14) key packing's 3 batch
+    bits (keys alias with period 16, silently mixing rows across batches —
+    the PointGroup ScoreNet case, where "batch" is a proposal id < 256).
+    xy_bits=(5,5) must produce the exact rulebook for small grids."""
+    st, coords, feats = make_sparse(rng, m_cap=512, n=300, grid=14,
+                                    batches=40)
+    rb = np.asarray(build_subm_rulebook(st, 3, xy_bits=(5, 5)))
+    offs = kernel_offsets(3)
+    cmap = {tuple(c): i for i, c in enumerate(coords)}
+    for i in range(len(coords)):
+        for kk, off in enumerate(offs):
+            q = (coords[i, 0], coords[i, 1] + off[0], coords[i, 2] + off[1],
+                 coords[i, 3] + off[2])
+            j = cmap.get(q)
+            assert rb[i, kk] == (st.capacity if j is None else j), (i, kk)
+    # regression: the default packing DOES alias at batch 16 vs 0 — this
+    # guards that the test data would catch it (two aliasing batches with
+    # coincident coords exist)
+    b = coords[:, 0]
+    alias_pairs = {(tuple(c[1:]), c[0] % 16) for c in coords}
+    assert len(alias_pairs) < len(coords) or (b >= 16).any()

@@ -338,3 +338,40 @@ def test_pack_unpack_roundtrip_and_packed_forward(rng):
     got = packed_fwd(*jax.tree.map(jnp.asarray, packed))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cin,jit_lo,jit_hi", [(96, -40, 40), (128, -10, 10)])
+def test_chunked_windowed_conv_matches_full(rng, cin, jit_lo, jit_hi):
+    """subm_conv_windowed_chunked == subm_conv_windowed (interpret mode).
+
+    jitter +-40 makes 64-row chunk spans exceed the 128-row slice on many
+    chunks (forces the gated exact-repair pass); +-10 keeps every chunk
+    narrow (pure fast path). Both must be exact."""
+    from seggroup_tpu.sparse import pallas_conv
+
+    cout = 72
+    m = 8 * pallas_conv.TILE
+    base = np.arange(m)[:, None]
+    rb = np.clip(base + rng.integers(jit_lo, jit_hi, size=(m, 27)), 0, m - 1)
+    rb = np.where(rng.random((m, 27)) < 0.3, m, rb).astype(np.int32)
+    win_base, rb_win, ovf = native.subm_windows(
+        rb, pallas_conv.TILE, pallas_conv.WINDOW)
+    assert ovf == 0
+    feats = jnp.asarray(rng.normal(size=(m, cin)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(27, cin, cout)) * 0.1)
+                    .astype(np.float32))
+    rb_win = jnp.asarray(rb_win)
+    win_base = jnp.asarray(win_base)
+
+    # repair coverage guard: the wide-jitter case must actually have
+    # over-span chunks (else the test silently stops exercising the repair)
+    words, left = pallas_conv._chunk_plan(
+        rb_win, m // pallas_conv.TILE, pallas_conv.TILE, pallas_conv.WINDOW)
+    if jit_hi - jit_lo > 40:
+        assert int(jnp.count_nonzero(left)) > 0
+
+    full = pallas_conv.subm_conv_windowed(feats, w, rb_win, win_base)
+    chunked = pallas_conv.subm_conv_windowed_chunked(feats, w, rb_win,
+                                                     win_base)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)

@@ -34,6 +34,14 @@ N_EDGES = 4096
 N_SCENES = 4
 
 
+def _progress(payload: dict) -> None:
+    """Child-mode progress line: a JSON dict printed to stdout. The parent
+    keeps the LAST JSON line it saw, so if the section is killed mid-way
+    (timeout / crash) the most recent partial payload still lands in the
+    combined artifact instead of a silent zero (VERDICT r4 item 1c)."""
+    print(json.dumps(payload), flush=True)
+
+
 def tpu_points_per_sec(sequential: bool = True, fast_knn: bool = False):
     import jax
 
@@ -55,6 +63,7 @@ def tpu_points_per_sec(sequential: bool = True, fast_knn: bool = False):
                         fast_knn=fast_knn)
     # jit the init: eager init dispatches hundreds of tiny remote ops through
     # the axon tunnel (~minutes); one compiled program instead
+    _progress({"phase": "compiling init"})
     variables = jax.jit(
         lambda r1, r2, s: model.init(
             {"params": r1, "dropout": r2}, s, mode="ins_infer", train=False)
@@ -62,13 +71,18 @@ def tpu_points_per_sec(sequential: bool = True, fast_knn: bool = False):
     fwd = jax.jit(lambda v, s: model.apply(v, s, mode="ins_infer", train=False))
     # warm up: through the axon tunnel block_until_ready can return before the
     # remote execution finishes; a scalar fetch is the only reliable sync
+    _progress({"phase": "compiling forward"})
     out = fwd(variables, scenes[0])
     _ = float(out.acc[0])
+    _progress({"phase": "compiled; measuring"})
 
     t0 = time.time()
     for i in range(N_SCENES):
         out = fwd(variables, scenes[i])
         _ = float(out.acc[0])
+        dt = (time.time() - t0) / (i + 1)
+        _progress({"points_per_sec": round(N_POINTS / dt, 1),
+                   "s_per_scene": round(dt, 3), "scenes_measured": i + 1})
     dt = (time.time() - t0) / N_SCENES
     return N_POINTS / dt, dt
 
@@ -323,6 +337,8 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
     train_step = _pg_step_split if split_jit else jax.jit(_pg_step_body)
 
     key = jax.random.PRNGKey(1)
+    _progress({"phase": "compiling pg train step", "measured_at":
+               f"pts=2^{int(np.log2(point_cap))} vox=2^{int(np.log2(voxel_cap))}"})
     params, stats, opt_state, loss = train_step(params, stats, opt_state,
                                                 *dev0, key)
     _ = float(loss)
@@ -332,6 +348,10 @@ def stage2_pointgroup_s_per_iter(point_cap=2 ** 19, voxel_cap=2 ** 18,
                                                     *dev0, key)
         _ = float(loss)
     device_s = (time.time() - t0) / 4
+    _progress({"measured_at":
+               f"pts=2^{int(np.log2(point_cap))} vox=2^{int(np.log2(voxel_cap))}",
+               "s_per_iter_device_step": round(device_s, 3),
+               "partial_note": "packed/pipelined measurement still running"})
     if not with_packed:
         return device_s, None
 
@@ -484,9 +504,11 @@ def stage2_kpconv_s_per_iter(point_cap=2 ** 17, batch_size=10, iters=6):
 
     jp, jb, jv, jf, jl = (jnp.asarray(x) for x in (pts, bids, valid, feats,
                                                    labels))
+    _progress({"phase": "compiling kpconv train step"})
     params, stats, opt_state, loss = train_step(params, stats, opt_state,
                                                 jp, jb, jv, jf, jl)
     _ = float(loss)
+    _progress({"phase": "compiled; measuring"})
     t0 = time.time()
     for _ in range(iters):
         params, stats, opt_state, loss = train_step(params, stats, opt_state,
@@ -568,6 +590,8 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
     train_step = jax.jit(_step_body)
 
     # compile + device-only steady state
+    _progress({"phase": "compiling minkunet train step",
+               "capacity": capacity})
     params, stats, opt_state, loss = train_step(
         params, stats, opt_state, st0, labels0, plan0)
     _ = float(loss)
@@ -577,6 +601,8 @@ def stage2_minkunet_s_per_iter(capacity=2 ** 17, batch_size=8, iters=8):
             params, stats, opt_state, st0, labels0, plan0)
         _ = float(loss)
     device_s = (time.time() - t0) / 4
+    _progress({"s_per_iter_device_step": round(device_s, 3),
+               "partial_note": "packed/pipelined measurement still running"})
 
     # pipelined end-to-end rate: the trainer's default minimal-transfer path
     # (compact ~7.5 MB wire batches, pyramid plan built on device inside the
@@ -709,11 +735,17 @@ SECTIONS = {
     "_test_fast": (lambda: {"ok": 1}, 60),
     "_test_slow": (lambda: time.sleep(30) or {"ok": 1}, 2),
     "_test_crash": (lambda: 1 // 0, 60),
+    "_test_partial": (lambda: (_progress({"points_per_sec": 42.0,
+                                          "s_per_scene": 1.0}),
+                               time.sleep(60), {"ok": 1})[-1], 25),
 }
 
-# run order: headline + cheap first, largest programs last
-SECTION_ORDER = ["cpu_baseline", "stage1", "stage1_fast", "minkunet",
-                 "minkunet_big", "kpconv", "pointgroup"]
+# run order (VERDICT r4 item 1a): the HEADLINE section first — nothing may
+# burn budget before stage1 lands. cpu_baseline (pure numpy, no compile)
+# after the two stage-1 sections; the never-yet-captured kpconv/pointgroup
+# sections before the nice-to-have minkunet_big.
+SECTION_ORDER = ["stage1", "stage1_fast", "cpu_baseline", "minkunet",
+                 "kpconv", "pointgroup", "minkunet_big"]
 
 
 def run_section(name: str) -> None:
@@ -736,14 +768,16 @@ def _assemble(results: dict, errors: dict) -> dict:
         "scene": {"points": N_POINTS, "segments": N_SLOTS, "edges": N_EDGES},
     }
     s1 = results.get("stage1")
-    if s1:
+    if s1 and s1.get("s_per_scene") is not None:
         detail["tpu_s_per_scene"] = s1["s_per_scene"]
+        if "partial" in s1:
+            detail["stage1_partial"] = s1["partial"]
     fast = results.get("stage1_fast")
-    if fast:
+    if fast and fast.get("s_per_scene") is not None:
         detail["tpu_s_per_scene_fast_mode"] = fast["s_per_scene"]
-        detail["fast_mode_points_per_sec"] = fast["points_per_sec"]
+        detail["fast_mode_points_per_sec"] = fast.get("points_per_sec")
     base = results.get("cpu_baseline")
-    if base:
+    if base and base.get("s_per_scene") is not None:
         detail["cpu_reference_emulation_s_per_scene"] = base["s_per_scene"]
 
     entry = {"config": "Res16UNet34C batch=8 voxel=2cm; device_step = "
@@ -761,8 +795,9 @@ def _assemble(results: dict, errors: dict) -> dict:
     mk_big = results.get("minkunet_big")
     if mk_big:
         entry.update({k + "_at_2^19": v for k, v in mk_big.items()})
-        entry["speedup_vs_v100_end_to_end"] = round(
-            ref_v100_s_per_iter / mk_big["s_per_iter_pipelined"], 2)
+        if mk_big.get("s_per_iter_pipelined"):
+            entry["speedup_vs_v100_end_to_end"] = round(
+                ref_v100_s_per_iter / mk_big["s_per_iter_pipelined"], 2)
     detail["stage2_minkunet_train"] = entry
 
     kp = results.get("kpconv")
@@ -772,7 +807,13 @@ def _assemble(results: dict, errors: dict) -> dict:
         **(kp if kp else {"error": errors.get("kpconv", "section failed")}),
     }
 
-    pg = results.get("pointgroup") or results.get("pointgroup_half")
+    pg_full = results.get("pointgroup")
+    pg_half = results.get("pointgroup_half")
+    # prefer whichever actually carries a measurement; a compile-phase-only
+    # partial must not mask a completed half-capacity fallback
+    pg = pg_full if (pg_full or {}).get("s_per_iter_device_step") is not None \
+        else (pg_half if (pg_half or {}).get("s_per_iter_device_step")
+              is not None else (pg_full or pg_half))
     detail["stage2_pointgroup_train"] = {
         "config": "batch=4 clustering+ScoreNet "
                   "(reference run2 yaml batch 4; full budget "
@@ -783,8 +824,8 @@ def _assemble(results: dict, errors: dict) -> dict:
 
     if errors:
         detail["errors"] = errors
-    tpu_pps = s1["points_per_sec"] if s1 else 0.0
-    base_pps = base["points_per_sec"] if base else None
+    tpu_pps = (s1 or {}).get("points_per_sec") or 0.0
+    base_pps = (base or {}).get("points_per_sec")
     return {
         "metric": "stage1_pseudolabel_points_per_sec_per_chip",
         "value": tpu_pps,
@@ -821,6 +862,15 @@ def main(argv=None):
         print(f"BENCH-SECTION {json.dumps({name: payload})}",
               file=sys.stderr, flush=True)
 
+    def _last_json_line(lines):
+        for ln in reversed(lines):
+            if ln.startswith("{"):
+                try:
+                    return json.loads(ln)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+        return None
+
     def run_child(name):
         remaining = deadline - time.time()
         cap = SECTIONS[name][1]
@@ -829,27 +879,64 @@ def main(argv=None):
             note(name, {"skipped": "budget"})
             return False
         t0 = time.time()
+        # Popen + reader thread (not subprocess.run): TimeoutExpired on this
+        # python carries NO partial output, and the whole point (VERDICT r4
+        # item 1c) is to salvage the child's most recent progress line when
+        # it is killed mid-compile/mid-measurement.
+        import threading
+
+        proc = subprocess.Popen(
+            [sys.executable, __file__, "--section", name],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        out_lines, err_chunks = [], []
+
+        def _pump(stream, sink):
+            for ln in stream:
+                sink.append(ln.rstrip("\n"))
+            stream.close()
+
+        t_out = threading.Thread(target=_pump, args=(proc.stdout, out_lines),
+                                 daemon=True)
+        t_err = threading.Thread(target=_pump, args=(proc.stderr, err_chunks),
+                                 daemon=True)
+        t_out.start(); t_err.start()
+        timed_out = False
         try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--section", name],
-                capture_output=True, text=True,
-                timeout=min(cap, remaining))
+            proc.wait(timeout=min(cap, remaining))
         except subprocess.TimeoutExpired:
+            timed_out = True
+            proc.kill()
+            proc.wait()
+        t_out.join(timeout=10); t_err.join(timeout=10)
+
+        if timed_out:
+            partial = _last_json_line(out_lines)
+            if partial:
+                partial["partial"] = f"section timeout ({cap:.0f}s)"
+                partial["section_s"] = round(time.time() - t0, 1)
+                results[name] = partial
+                note(name, partial)
+                return "partial"
             errors[name] = f"skipped: section timeout ({cap:.0f}s)"
             note(name, {"skipped": f"timeout {cap:.0f}s"})
             return False
         if proc.returncode != 0:
-            tail = (proc.stderr or proc.stdout or "").strip()[-300:]
+            tail = "\n".join(err_chunks or out_lines).strip()[-300:]
             errors[name] = f"rc {proc.returncode}: {tail}"[:350]
             note(name, {"error": errors[name]})
+            partial = _last_json_line(out_lines)
+            if partial:
+                partial["partial"] = f"rc {proc.returncode}"
+                partial["section_s"] = round(time.time() - t0, 1)
+                results[name] = partial
+                note(name, partial)
+                return "partial"
             return False
-        line = [ln for ln in proc.stdout.strip().splitlines()
-                if ln.startswith("{")]
-        if not line:
+        payload = _last_json_line(out_lines)
+        if payload is None:
             errors[name] = "no JSON output"
             note(name, {"error": "no JSON output"})
             return False
-        payload = json.loads(line[-1])
         payload["section_s"] = round(time.time() - t0, 1)
         results[name] = payload
         note(name, payload)
@@ -857,9 +944,12 @@ def main(argv=None):
 
     for name in order:
         ok = run_child(name)
-        if name == "pointgroup" and not ok and \
+        if name == "pointgroup" and \
                 "skipped: budget" not in errors.get(name, ""):
-            run_child("pointgroup_half")
+            got_number = (results.get("pointgroup") or {}).get(
+                "s_per_iter_device_step") is not None
+            if not ok or (ok == "partial" and not got_number):
+                run_child("pointgroup_half")
         # cumulative combined line after EVERY section: the driver parses
         # the LAST stdout JSON line, so even a hard external kill (the r03
         # rc-124 mode) leaves the most complete snapshot parseable

@@ -191,9 +191,9 @@ def export_scene(results_root: str, scene_name: str, stage: str,
     export_labels_txt(out_dir, "final.sem", final_sem)
     export_labels_txt(out_dir, "final.ins", final_ins)
     export_labels_txt(out_dir, "final.seg", unm(out.final_root[row]))
-    sem2 = unm(out.sem_layer2[row])
-    ins2 = unm(out.ins_layer2[row])
-    export_labels_txt(out_dir, "layer_2.sem", sem2)
-    export_labels_txt(out_dir, "layer_2.ins", ins2)
     for li in range(out.layer_roots.shape[1]):
         export_labels_txt(out_dir, f"layer_{li+1}.seg", unm(out.layer_roots[row, li]))
+        # per-layer sem/ins exports (reference model.py:736-861 writes
+        # layer_L.{seg,ins,sem}.txt after every grouping layer)
+        export_labels_txt(out_dir, f"layer_{li+1}.sem", unm(out.layer_sem[row, li]))
+        export_labels_txt(out_dir, f"layer_{li+1}.ins", unm(out.layer_ins[row, li]))

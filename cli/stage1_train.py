@@ -15,7 +15,8 @@ import time
 import jax
 import numpy as np
 
-from cli.stage1_common import dump_config, SceneSource, add_common_args, batches
+from cli.stage1_common import (dump_config, SceneSource, add_common_args,
+                               batches, should_stop)
 from seggroup_tpu.models.seggroup import SegGroupGNN
 from seggroup_tpu.parallel.dp import (
     build_stage1_train_step, make_mesh, make_optimizer, replicate, shard_batch,
@@ -133,6 +134,9 @@ def main():
             "batch_stats": jax.device_get(stats),
         })
         io.cprint(f"==> saved checkpoint epoch {epoch + 1}")
+        if should_stop(args.exp_name):
+            io.cprint("STOP file found — exiting after checkpoint save")
+            break
 
 
 if __name__ == "__main__":

@@ -43,6 +43,11 @@ def main():
     p.add_argument("--num_classes", type=int, default=20)
     p.add_argument("--calib_batches", type=int, default=4,
                    help="batches probed for neighbor-cap calibration")
+    p.add_argument("--auto_point_cap", action="store_true",
+                   help="calibrate point_cap from sampled in_radius-sphere "
+                        "sizes so ~batch_size spheres fit (reference "
+                        "calibrate_batches, common.py:487-549); overrides "
+                        "--point_cap")
     p.add_argument("--keep_ratio", type=float, default=0.8,
                    help="calibration quantile (reference common.py:561)")
     p.add_argument("--grad_clip_norm", type=float, default=100.0,
@@ -100,6 +105,20 @@ def main():
     train_scenes = scenes[: len(scenes) - n_val] or val_scenes
     scenes = train_scenes
     io.cprint(f"scenes: {len(train_scenes)} train / {len(val_scenes)} val")
+
+    if args.auto_point_cap:
+        from seggroup_tpu.models.kpconv import (calibrate_batch_limit,
+                                                sample_sphere_sizes)
+        sizes = sample_sphere_sizes([c for c, _, _ in scenes],
+                                    args.in_radius,
+                                    rng=np.random.default_rng(args.seed + 2))
+        lim, n_cap = calibrate_batch_limit(sizes, args.batch_size,
+                                           rng=np.random.default_rng(
+                                               args.seed + 3))
+        caps = [n_cap // 2, n_cap // 4, n_cap // 8, n_cap // 16]
+        io.cprint(f"calibrated batch limit: {lim:.0f} points "
+                  f"-> point_cap {n_cap} (sphere sizes "
+                  f"p50={int(np.median(sizes))} max={int(sizes[-1])})")
 
     # per-point Tukey-potential sphere sampling (reference Scannet.py:701-819):
     # centers are drawn at the global potential minimum, guaranteeing scene

@@ -38,6 +38,8 @@ def main():
     if args.process_dir:
         import glob
 
+        from seggroup_tpu.data.visualize import visualize_grouping_process
+
         os.makedirs(args.out, exist_ok=True)
         files = sorted(glob.glob(os.path.join(args.process_dir,
                                               "layer_*.seg.txt")))
@@ -45,9 +47,21 @@ def main():
             raise SystemExit(f"no layer_*.seg.txt under {args.process_dir}")
         for fp in files:
             name = os.path.basename(fp).replace(".seg.txt", "")
+            seg = np.loadtxt(fp, dtype=np.int64)
             out = os.path.join(args.out, f"{name}.ply")
-            visualize_labels(args.mesh, np.loadtxt(fp, dtype=np.int64), out,
-                             "segment", args.shuffle)
+            # merge-progress view (reference visualize_grouping_process):
+            # instance colors where this layer's ins labels exist, segment
+            # colors elsewhere; final.ins as the last-layer fallback
+            ins_fp = fp.replace(".seg.txt", ".ins.txt")
+            if not os.path.exists(ins_fp):
+                ins_fp = os.path.join(args.process_dir, "final.ins.txt")
+            if os.path.exists(ins_fp):
+                ins = np.loadtxt(ins_fp, dtype=np.int64)
+                visualize_grouping_process(args.mesh, ins, seg, out,
+                                           shuffle=args.shuffle)
+            else:
+                visualize_labels(args.mesh, seg, out, "segment",
+                                 args.shuffle)
             print(f"wrote {out}")
         return
     if not args.labels:

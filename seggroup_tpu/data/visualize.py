@@ -73,6 +73,44 @@ def visualize_labels(mesh_path: str, labels: np.ndarray, out_path: str,
     }, faces=ply.get("face"))
 
 
+def colorize_grouping(ins_labels: np.ndarray, seg_labels: np.ndarray,
+                      shuffle: bool = True, seed: int = 0) -> np.ndarray:
+    """Merge-progress coloring (reference visualize_grouping_process,
+    dataset/scannet/util.py:489-527): vertices already absorbed into an
+    instance (ins != -1) take that instance's color; still-ungrouped
+    vertices take their over-segment's color. Across layers, the mesh
+    visibly 'fills in' with instance colors as merges progress."""
+    ins_labels = np.asarray(ins_labels)
+    seg_labels = np.asarray(seg_labels)
+    ins_ids = np.unique(ins_labels)
+    ins_ids = ins_ids[ins_ids >= 0]
+    rank = np.full(int(ins_ids.max()) + 2 if len(ins_ids) else 1, 0,
+                   np.int64)
+    for r, iid in enumerate(ins_ids):
+        rank[iid] = r
+    ins_pal = _instance_palette(max(len(ins_ids), 1), shuffle=False)
+    seg_pal = _instance_palette(64, shuffle=shuffle, seed=seed)
+    colors = seg_pal[np.maximum(seg_labels, 0) % 64]
+    grouped = ins_labels >= 0
+    colors[grouped] = ins_pal[rank[ins_labels[grouped]] % len(ins_pal)]
+    colors[(~grouped) & (seg_labels < 0)] = 255
+    return colors
+
+
+def visualize_grouping_process(mesh_path: str, ins_labels: np.ndarray,
+                               seg_labels: np.ndarray, out_path: str,
+                               shuffle: bool = True, seed: int = 0):
+    """Recolor a mesh by grouping progress and write `out_path` (reference
+    visualize_grouping_process, util.py:489-527)."""
+    ply = read_ply(mesh_path)
+    v = ply["vertex"]
+    colors = colorize_grouping(ins_labels, seg_labels, shuffle, seed)
+    write_ply(out_path, {
+        "x": v["x"], "y": v["y"], "z": v["z"],
+        "red": colors[:, 0], "green": colors[:, 1], "blue": colors[:, 2],
+    }, faces=ply.get("face"))
+
+
 def write_point_cloud(out_path: str, points: np.ndarray,
                       labels: np.ndarray | None = None,
                       label_type: str = "semantic"):

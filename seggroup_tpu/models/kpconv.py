@@ -339,6 +339,62 @@ def calibrate_neighbor_caps(
     return caps_out, over_rate
 
 
+def sample_sphere_sizes(clouds, in_radius: float, samples_per_cloud: int = 30,
+                        rng=None) -> np.ndarray:
+    """Sample in_radius-sphere point counts across clouds — the statistics
+    the reference's batch calibration draws from (common.py:497-512: random
+    centers jittered by in_radius/4, KD-tree radius count). Host-side numpy;
+    chunked brute force replaces the KD-tree."""
+    rng = rng or np.random.default_rng(0)
+    sizes = []
+    r2 = in_radius * in_radius
+    for pts in clouds:
+        pts = np.asarray(pts, np.float32)
+        n = len(pts)
+        take = min(samples_per_cloud, n)
+        centers = pts[rng.choice(n, size=take, replace=False)]
+        centers = centers + rng.normal(
+            scale=in_radius / 4, size=centers.shape).astype(np.float32)
+        for c in centers:
+            cnt = 0
+            for lo in range(0, n, 1 << 17):
+                d2 = ((pts[lo:lo + (1 << 17)] - c) ** 2).sum(1)
+                cnt += int((d2 < r2).sum())
+            sizes.append(cnt)
+    return np.sort(np.asarray(sizes))
+
+
+def calibrate_batch_limit(sphere_sizes, batch_num: int, rng=None,
+                          iters: int = 10000, gain: float = 10.0,
+                          round_to: int = 1024) -> tuple[float, int]:
+    """Batch-limit calibration (reference calibrate_batches,
+    common.py:487-549): find the cumulative point limit at which greedily
+    packing random spheres until the running sum crosses it yields ~batch_num
+    spheres per batch, via the same proportional-corrector loop over sampled
+    sphere sizes. Returns (batch_limit, point_cap) where point_cap is the
+    limit rounded UP to `round_to` — the static padded capacity the TPU
+    pipeline uses in place of the reference's dynamic tf.data batch limit.
+
+    The stochastic loop is deterministic under `rng`."""
+    sizes = np.sort(np.asarray(sphere_sizes, np.float64))
+    if sizes.size == 0:
+        raise ValueError("calibrate_batch_limit: no sphere sizes sampled")
+    rng = rng or np.random.default_rng(0)
+    lim = float(sizes[-1]) * batch_num
+    # largest number of spheres that could ever fit under lim (smallest-first)
+    max_b = int(np.searchsorted(np.cumsum(sizes), lim, side="right"))
+    max_b = max(max_b, 1)
+    estim = 0.0
+    for i in range(iters):
+        pick = rng.choice(sizes, size=min(max_b, sizes.size), replace=False)
+        fit = int(np.sum(np.cumsum(pick) < lim))
+        estim += (fit - estim) / min(i + 1, 100)
+        lim += gain * (batch_num - estim)
+    lim = max(lim, float(sizes[-1]))
+    point_cap = int(-(-int(lim) // round_to) * round_to)
+    return lim, point_cap
+
+
 # ---------------------------------------------------------------------------
 # blocks + KPFCNN
 # ---------------------------------------------------------------------------

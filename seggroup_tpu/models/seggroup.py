@@ -293,6 +293,9 @@ class Stage1Output(NamedTuple):
     max_cluster_size: jax.Array  # scalar: largest merged cluster entering a
     # kNN layer (binding when > knn_window); CLIs warn and point at the
     # exact-path flags
+    layer_sem: jax.Array      # (4, N) per-layer semantic export (+1 conv.;
+    # reference export_semantic_label per layer, model.py:738-861)
+    layer_ins: jax.Array      # (4, N) per-layer instance export
 
 
 class SegGroupGNN(nn.Module):
@@ -361,6 +364,9 @@ class SegGroupGNN(nn.Module):
         max_seg = jnp.max(segment_sum(
             pt_valid.astype(jnp.int32),
             jnp.where(pt_valid, roots_l1, s), s))
+        # layer-1 export = weak labels on the un-merged segment graph
+        # (reference model.py:736-738)
+        sem_l1, ins_l1 = self._export_labels(g, roots_l1, pt_valid, s)
 
         # --- structural grouping layer (model.py:745-770)
         clouds, act1 = cluster_pointclouds(
@@ -387,6 +393,8 @@ class SegGroupGNN(nn.Module):
                 zero, zero, iou_sem, iou_ins, acc,
                 jnp.stack([roots_l1, roots_l2, roots_l2, roots_l2]),
                 roots_l2, sem_l2, ins_l2, sem_l2, ins_l2, max_seg, cl2,
+                jnp.stack([sem_l1, sem_l2, sem_l2, sem_l2]),
+                jnp.stack([ins_l1, ins_l2, ins_l2, ins_l2]),
             )
 
         # --- semantic grouping layer 1 (model.py:786-824)
@@ -395,6 +403,7 @@ class SegGroupGNN(nn.Module):
             pt_valid, train,
         )
         roots_l3 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+        sem_l3, ins_l3 = self._export_labels(g, roots_l3, pt_valid, s)
         cl3 = jnp.max(segment_sum(pt_valid.astype(jnp.int32),
                                   jnp.where(pt_valid, roots_l3, s), s))
         max_cluster = jnp.maximum(cl2, cl3)
@@ -406,6 +415,7 @@ class SegGroupGNN(nn.Module):
             pt_valid, train,
         )
         roots_l4 = jnp.where(pt_valid, g.root[jnp.minimum(scene.point2seg, s - 1)], s)
+        sem_l4, ins_l4 = self._export_labels(g, roots_l4, pt_valid, s)
         feat4 = gr.aggregate_cluster_feature(feat3, g, act3)
 
         # --- final clustering: absorb unlabeled (model.py:868-891)
@@ -424,13 +434,15 @@ class SegGroupGNN(nn.Module):
         )
 
         layer_roots = jnp.stack([roots_l1, roots_l2, roots_l3, roots_l4])
+        layer_sem = jnp.stack([sem_l1, sem_l2, sem_l3, sem_l4])
+        layer_ins = jnp.stack([ins_l1, ins_l2, ins_l3, ins_l4])
 
         if mode == "ins_infer":
             zero = jnp.zeros(())
             return Stage1Output(
                 zero, zero, iou_sem, iou_ins, acc, layer_roots,
                 final_root, final_sem, final_ins, sem_l2, ins_l2,
-                max_seg, max_cluster,
+                max_seg, max_cluster, layer_sem, layer_ins,
             )
 
         # --- classifier over per-instance max-pooled features (model.py:900-929)
@@ -450,7 +462,7 @@ class SegGroupGNN(nn.Module):
         return Stage1Output(
             loss_sum, loss_count, iou_sem, iou_ins, acc, layer_roots,
             final_root, final_sem, final_ins, sem_l2, ins_l2,
-            max_seg, max_cluster,
+            max_seg, max_cluster, layer_sem, layer_ins,
         )
 
     def _semantic_layer(self, mlp, gcn, feat_in, g, edges, ev, pts, roots,

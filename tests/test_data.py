@@ -232,3 +232,37 @@ def test_visualize_roundtrip(tmp_path, rng):
     assert len(back["vertex"]) == len(v)
     cols = colorize_labels(raw["real_sem"], "semantic")
     np.testing.assert_array_equal(back["vertex"]["red"], cols[:, 0])
+
+
+def test_colorize_grouping_progress(rng):
+    """Merge-progress coloring (reference visualize_grouping_process,
+    util.py:489-527): instance-assigned vertices take instance colors,
+    ungrouped vertices take their segment color, unlabeled-and-unsegmented
+    vertices are white."""
+    from seggroup_tpu.data.visualize import (_instance_palette,
+                                             colorize_grouping)
+
+    n = 200
+    seg = rng.integers(0, 12, n)
+    ins = np.full(n, -1, np.int64)
+    ins[:80] = rng.integers(0, 4, 80)
+    seg[190:] = -1
+    cols = colorize_grouping(ins, seg, shuffle=False, seed=0)
+    assert cols.shape == (n, 3) and cols.dtype == np.uint8
+    # same instance -> same color; different instances -> different colors
+    for k in range(4):
+        sel = ins == k
+        assert (cols[sel] == cols[sel][0]).all()
+    inst_colors = {tuple(cols[ins == k][0]) for k in range(4)}
+    assert len(inst_colors) == 4
+    # ungrouped vertices keep segment coloring
+    seg_pal = _instance_palette(64, shuffle=False, seed=0)
+    ungrouped = (ins < 0) & (seg >= 0)
+    np.testing.assert_array_equal(cols[ungrouped], seg_pal[seg[ungrouped] % 64])
+    # invalid seg + no instance -> white
+    assert (cols[(ins < 0) & (seg < 0)] == 255).all()
+    # more grouping -> more instance-colored vertices (progress is visible)
+    ins2 = ins.copy(); ins2[80:160] = rng.integers(0, 4, 80)
+    cols2 = colorize_grouping(ins2, seg, shuffle=False, seed=0)
+    changed = (cols2 != cols).any(1)
+    assert changed.sum() > 0 and (np.where(changed)[0] >= 80).all()

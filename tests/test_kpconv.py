@@ -222,3 +222,38 @@ def test_kpcnn_kp_classifier_forward_and_grads(rng):
     grads = jax.grad(loss)(variables["params"])
     gn = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
     assert all(np.isfinite(gn)) and sum(x > 0 for x in gn) > len(gn) * 0.5
+
+
+def test_calibrate_batch_limit_convergence(rng):
+    """Batch-limit calibration (reference calibrate_batches,
+    common.py:487-549): greedy packing under the calibrated limit yields
+    ~batch_num spheres per batch on average."""
+    from seggroup_tpu.models.kpconv import calibrate_batch_limit
+
+    sizes = np.clip(rng.lognormal(np.log(12000), 0.4, size=400), 2000,
+                    60000).astype(np.int64)
+    batch_num = 6
+    lim, cap = calibrate_batch_limit(sizes, batch_num,
+                                     rng=np.random.default_rng(1))
+    assert cap % 1024 == 0 and cap >= lim
+    # simulate packing: draw spheres until cumsum crosses lim
+    fits = []
+    sim = np.random.default_rng(2)
+    for _ in range(300):
+        pick = sim.choice(sizes, size=len(sizes), replace=False)
+        fits.append(int(np.sum(np.cumsum(pick) < lim)))
+    mean_fit = float(np.mean(fits))
+    assert batch_num * 0.7 <= mean_fit <= batch_num * 1.3, (lim, mean_fit)
+
+
+def test_sample_sphere_sizes_counts_neighbors(rng):
+    """Sphere-size sampler matches a direct radius count on a known cloud."""
+    from seggroup_tpu.models.kpconv import sample_sphere_sizes
+
+    pts = rng.uniform(0, 4, size=(5000, 3)).astype(np.float32)
+    sizes = sample_sphere_sizes([pts], in_radius=1.0, samples_per_cloud=10,
+                                rng=np.random.default_rng(0))
+    assert len(sizes) == 10 and (sizes > 0).all()
+    # expected count for r=1 spheres in a 4^3 box of 5000 pts: ~(4/3)pi/64*5000
+    # ~ 327, boundary-clipped below; sanity bounds only
+    assert sizes.max() < 1500 and sizes.min() > 20

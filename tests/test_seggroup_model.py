@@ -60,6 +60,23 @@ def test_forward_modes(scene, model_and_vars):
         assert sem2.max() <= 40
 
 
+def test_per_layer_exports(scene, model_and_vars):
+    """Per-layer sem/ins exports (reference model.py:736-861): layer 2 rows
+    equal the layer-2 exports, layer 1 carries the raw weak seeds, and label
+    coverage only grows as layers merge."""
+    model, variables = model_and_vars
+    out = model.apply(variables, scene, mode="ins_infer", train=False)
+    n = out.final_sem.shape[0]
+    assert out.layer_sem.shape == (4, n) and out.layer_ins.shape == (4, n)
+    np.testing.assert_array_equal(np.asarray(out.layer_sem[1]),
+                                  np.asarray(out.sem_layer2))
+    np.testing.assert_array_equal(np.asarray(out.layer_ins[1]),
+                                  np.asarray(out.ins_layer2))
+    labeled = (np.asarray(out.layer_ins) >= 1).sum(axis=1)
+    assert (np.diff(labeled) >= 0).all(), (
+        f"instance coverage must be monotone across layers: {labeled}")
+
+
 @pytest.mark.slow
 def test_grad_flow(scene, model_and_vars):
     model, variables = model_and_vars

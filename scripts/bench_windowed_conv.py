@@ -116,12 +116,22 @@ def main():
             feats, weights, win["rb_win"], win["win_base"], iters=args.iters)
         print(f"W={w}: fwd {dt*1e3:.2f} ms")
         if hasattr(pallas_conv, "subm_conv_windowed_chunked"):
-            dt = timeit(
-                lambda f, wt, rl, wb: pallas_conv.subm_conv_windowed_chunked(
-                    f, wt, rl, wb, window=w),
-                feats, weights, win["rb_win"], win["win_base"],
-                iters=args.iters)
-            print(f"W={w} chunked: fwd {dt*1e3:.2f} ms")
+            for chunk, cslice in [(64, 128), (64, 64), (32, 64), (32, 32),
+                                  (128, 128)]:
+                if tile % chunk or (3 * (tile // chunk)) % 4 or w < cslice:
+                    continue
+                try:
+                    dt = timeit(
+                        lambda f, wt, rl, wb, ch=chunk, cs=cslice:
+                        pallas_conv.subm_conv_windowed_chunked(
+                            f, wt, rl, wb, window=w, chunk=ch, cslice=cs),
+                        feats, weights, win["rb_win"], win["win_base"],
+                        iters=args.iters)
+                    print(f"W={w} chunked({chunk},{cslice}): "
+                          f"fwd {dt*1e3:.2f} ms")
+                except Exception as e:  # noqa: BLE001 — sweep survives
+                    print(f"W={w} chunked({chunk},{cslice}): FAILED "
+                          f"{str(e)[:120]}")
         dt = timeit(
             lambda f, do, rl, wb: pallas_conv.subm_dw_windowed(
                 f, do, rl, wb, window=w),

@@ -133,16 +133,16 @@ CHUNK = 64  # rows per narrow one-hot; must divide TILE
 CSLICE = 128  # window-slice rows each chunk gathers against
 
 
-def _chunk_plan(rb_local, n_tiles, tile, window):
+def _chunk_plan(rb_local, n_tiles, tile, window, chunk=CHUNK, cslice=CSLICE):
     """(chunk_words (n_tiles*27,) int32, left_mask (n_tiles,) int32).
     Pure jnp — runs fused into the surrounding jit, ~one pass over rb."""
-    n_c = tile // CHUNK                      # chunks per dz block
-    r = rb_local.reshape(n_tiles, 3, n_c, CHUNK, 9)
+    n_c = tile // chunk                      # chunks per dz block
+    r = rb_local.reshape(n_tiles, 3, n_c, chunk, 9)
     valid = r < window
     rmin = jnp.min(jnp.where(valid, r, window), axis=3)  # (nt, 3, n_c, 9)
     rmax = jnp.max(jnp.where(valid, r, -1), axis=3)
-    base = jnp.minimum(rmin & ~15, window - CSLICE)
-    dropped = rmax - base >= CSLICE                      # (nt, 3, n_c, 9)
+    base = jnp.minimum(rmin & ~15, window - cslice)
+    dropped = rmax - base >= cslice                      # (nt, 3, n_c, 9)
     left = jnp.any(dropped, axis=(1, 2))                 # (nt, 9)
     left_mask = jnp.sum(
         left.astype(jnp.int32) << jnp.arange(9, dtype=jnp.int32)[None, :],
@@ -156,11 +156,12 @@ def _chunk_plan(rb_local, n_tiles, tile, window):
 
 
 def _fwd_kernel_chunked(base_ref, chunk_ref, left_ref, rbl_ref, f_ref, w_ref,
-                        out_ref, win_buf, sems, *, window):
+                        out_ref, win_buf, sems, *, window, chunk=CHUNK,
+                        cslice=CSLICE):
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     tile = rbl_ref.shape[0] // 3
-    n_c = tile // CHUNK
+    n_c = tile // chunk
     words_per_g = (3 * n_c) // 4
 
     @pl.when(t == 0)
@@ -173,7 +174,7 @@ def _fwd_kernel_chunked(base_ref, chunk_ref, left_ref, rbl_ref, f_ref, w_ref,
                     window)
 
     slot = t % 2
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CSLICE), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, cslice), 1)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for g in range(9):
         _make_dma(f_ref, win_buf, sems, base_ref, t, g, slot, window).wait()
@@ -181,8 +182,8 @@ def _fwd_kernel_chunked(base_ref, chunk_ref, left_ref, rbl_ref, f_ref, w_ref,
         for c in range(3 * n_c):
             word = chunk_ref[t * 9 * words_per_g + g * words_per_g + c // 4]
             base = pl.multiple_of(((word >> (8 * (c % 4))) & 0xFF) << 4, 16)
-            sl = win_buf[slot, g, pl.ds(base, CSLICE), :]
-            rc = rbl_ref[c * CHUNK:(c + 1) * CHUNK, g]
+            sl = win_buf[slot, g, pl.ds(base, cslice), :]
+            rc = rbl_ref[c * chunk:(c + 1) * chunk, g]
             oh = (iota_c == (rc - base)[:, None]).astype(sl.dtype)
             chunks.append(jnp.dot(oh, sl,
                                   preferred_element_type=jnp.float32))
@@ -208,9 +209,9 @@ def _fwd_kernel_chunked(base_ref, chunk_ref, left_ref, rbl_ref, f_ref, w_ref,
                 word = chunk_ref[t * 9 * words_per_g + g * words_per_g
                                  + c // 4]
                 base = ((word >> (8 * (c % 4))) & 0xFF) << 4
-                rc = rbl_ref[c * CHUNK:(c + 1) * CHUNK, g]
+                rc = rbl_ref[c * chunk:(c + 1) * chunk, g]
                 masks.append(((rc < window)
-                              & (rc - base >= CSLICE))[:, None])
+                              & (rc - base >= cslice))[:, None])
             dropped = jnp.concatenate(masks, axis=0)      # (3T, 1)
             r = rbl_ref[:, g]
             oh = ((iota_w == r[:, None]) & dropped).astype(win.dtype)
@@ -224,16 +225,18 @@ def _fwd_kernel_chunked(base_ref, chunk_ref, left_ref, rbl_ref, f_ref, w_ref,
             out_ref[:] = out_ref[:] + corr
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "tile", "window"))
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "tile",
+                                              "window", "chunk", "cslice"))
 def subm_conv_windowed_chunked(feats, weights, rb_local, win_base,
                                compute_dtype=jnp.bfloat16, tile=TILE,
-                               window=WINDOW):
+                               window=WINDOW, chunk=CHUNK, cslice=CSLICE):
     """Chunked-one-hot forward (same contract as subm_conv_windowed; exact,
     including over-span chunks via the gated repair pass). Cin > 64 only —
     narrow channels should keep the lane-packed kernel."""
     m, cin = feats.shape
     cout = weights.shape[2]
-    assert m % tile == 0 and tile % CHUNK == 0 and window % 16 == 0
+    assert m % tile == 0 and tile % chunk == 0 and window % 16 == 0
+    assert cslice % 16 == 0 and window >= cslice
     n_tiles = m // tile
     cin_p = _pad128(cin)
     f = feats.astype(compute_dtype)
@@ -242,7 +245,8 @@ def subm_conv_windowed_chunked(feats, weights, rb_local, win_base,
         weights = jnp.zeros((27, cin_p, cout),
                             weights.dtype).at[:, :cin, :].set(weights)
     cin = cin_p
-    chunk_words, left_mask = _chunk_plan(rb_local, n_tiles, tile, window)
+    chunk_words, left_mask = _chunk_plan(rb_local, n_tiles, tile, window,
+                                         chunk, cslice)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -259,7 +263,8 @@ def subm_conv_windowed_chunked(feats, weights, rb_local, win_base,
             pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
-    kern = functools.partial(_fwd_kernel_chunked, window=window)
+    kern = functools.partial(_fwd_kernel_chunked, window=window,
+                             chunk=chunk, cslice=cslice)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((m, cout), jnp.float32),
@@ -267,7 +272,7 @@ def subm_conv_windowed_chunked(feats, weights, rb_local, win_base,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * 27 * cin * (CSLICE + cout),
+            flops=2 * m * 27 * cin * (cslice + cout),
             bytes_accessed=9 * n_tiles * window * cin * 2 + m * 27 * 4
             + m * cout * 4,
             transcendentals=0,

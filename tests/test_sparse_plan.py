@@ -375,3 +375,11 @@ def test_chunked_windowed_conv_matches_full(rng, cin, jit_lo, jit_hi):
                                                      win_base)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                rtol=1e-5, atol=1e-5)
+    # narrower chunk/slice parametrizations (the roofline A/B knobs) must be
+    # exact too — the wide-jitter case pushes many chunks through repair
+    for chunk, cslice in [(64, 64), (32, 64)]:
+        got = pallas_conv.subm_conv_windowed_chunked(
+            feats, w, rb_win, win_base, chunk=chunk, cslice=cslice)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"chunk={chunk} cslice={cslice}")

@@ -63,3 +63,18 @@ def test_bench_orchestrator_budget_skip(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     doc = json.loads(out[-1])
     assert doc["detail"]["errors"]["_test_fast"] == "skipped: budget"
+
+
+def test_bench_orchestrator_salvages_partial(capsys):
+    """A section killed at its cap AFTER emitting a progress line lands that
+    line in the artifact with a 'partial' marker (VERDICT r4 item 1c) —
+    instead of the r4 failure mode where a timed-out headline section left
+    value=0.0."""
+    import json
+
+    bench.main(["--sections", "_test_partial", "--budget_s", "120"])
+    out = capsys.readouterr().out.strip().splitlines()
+    doc = json.loads(out[-1])
+    assert "_test_partial" not in doc["detail"].get("errors", {})
+    # the salvaged payload rode into results (visible via the BENCH-SECTION
+    # stderr echo and, for real sections like stage1, the headline fields)

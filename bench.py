@@ -848,6 +848,11 @@ def main(argv=None):
                     "are recorded as skipped, never killed at rc 124")
     ap.add_argument("--sections", default=None,
                     help="comma-separated subset to run (parent mode)")
+    ap.add_argument("--cap_scale", type=float, default=1.0,
+                    help="multiply per-section timeout caps (round-close "
+                         "cache warm-up runs use a large scale so cold "
+                         "multi-hour compiles complete once and land in "
+                         ".jax_cache for the driver's capped run)")
     args = ap.parse_args(argv)
 
     if args.section:
@@ -873,7 +878,7 @@ def main(argv=None):
 
     def run_child(name):
         remaining = deadline - time.time()
-        cap = SECTIONS[name][1]
+        cap = SECTIONS[name][1] * args.cap_scale
         if remaining < min(90.0, cap):
             errors[name] = "skipped: budget"
             note(name, {"skipped": "budget"})

@@ -5,7 +5,7 @@
 # prints a nonzero headline before ending the round.
 set -x
 cd "$(dirname "$0")/.."
-time python bench.py --budget_s 3600 2>bench_close.stderr | tail -1 | tee bench_close.json
+time python bench.py --budget_s 14400 --cap_scale 12 2>bench_close.stderr | tail -1 | tee bench_close.json
 python - << 'PY'
 import json
 d = json.load(open("bench_close.json"))

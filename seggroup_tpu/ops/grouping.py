@@ -358,10 +358,18 @@ def group_nearby_clusters_sequential(
     dists: jax.Array,
     th: float,
     min_points: int = 5,
+    compact_budget: int | None = None,
 ) -> tuple[SegGraph, jax.Array]:
     """Exact sequential-order emulation of the reference merge loop
     (model.py:218-258) via lax.scan — bit-faithful but latency-bound on TPU;
-    kept for parity testing against the numpy oracle."""
+    kept for parity testing against the numpy oracle.
+
+    Exact compaction (same argument as absorb_small_clusters): eligibility
+    `edge_valid & (dist <= th)` is state-INDEPENDENT — dists are computed
+    once before the loop in both us and the reference (model.py:262-274) —
+    so ineligible edges are permanent no-ops. Scanning only the eligible
+    edges, gathered into a `compact_budget` prefix in stable order, is
+    bit-identical to the full scan; overflow falls back via lax.cond."""
 
     def thresh_step(graph, inp):
         e, valid, dist = inp
@@ -370,7 +378,25 @@ def group_nearby_clusters_sequential(
         do = valid & (dist <= th)
         return _union(graph, r1, r2, do), None
 
-    g, _ = jax.lax.scan(thresh_step, g, (edges, edge_valid, dists))
+    E = edges.shape[0]
+    if compact_budget is None:
+        compact_budget = max(min(E, 256), E // 4)
+    eligible = edge_valid & (dists <= th)
+    if compact_budget >= E:
+        g, _ = jax.lax.scan(thresh_step, g, (edges, edge_valid, dists))
+    else:
+        order = jnp.argsort(~eligible, stable=True).astype(jnp.int32)
+        sel = order[:compact_budget]
+        count = jnp.sum(eligible.astype(jnp.int32))
+        g = jax.lax.cond(
+            count <= compact_budget,
+            lambda graph: jax.lax.scan(
+                thresh_step, graph,
+                (edges[sel], eligible[sel], dists[sel]))[0],
+            lambda graph: jax.lax.scan(
+                thresh_step, graph, (edges, edge_valid, dists))[0],
+            g,
+        )
     g = absorb_small_clusters(g, edges, edge_valid, min_points)
 
     connected = edge_valid & (g.root[edges[:, 0]] == g.root[edges[:, 1]])

@@ -389,3 +389,39 @@ def test_group_unlabeled_absorbs_everything(rng):
     assert all(ins2[i] != -1 for i in np.where(act)[0])
     # exactly the two instances survive
     assert sorted(ins2[act].tolist()) == [0, 1]
+
+
+def test_sequential_compaction_bit_identical(rng):
+    """The eligible-edge compaction of the sequential threshold scan is
+    bit-identical to the full scan, in BOTH regimes: eligible count under
+    the budget (compact prefix runs) and over it (lax.cond falls back)."""
+    s = 64
+    e_pad = 1024
+    for th, budget in [(1.0, 128), (9.0, 128), (5.0, 64)]:
+        ins = np.full(s, -1, np.int64)
+        labeled = rng.random(s) < 0.3
+        ins[labeled] = rng.integers(0, 6, int(labeled.sum()))
+        counts = rng.integers(1, 30, s)
+        p2s = np.repeat(np.arange(s), counts)
+        g = gr.init_graph(jnp.asarray(p2s.astype(np.int32)),
+                          jnp.asarray(ins.astype(np.int32)),
+                          jnp.asarray(ins.astype(np.int32)),
+                          s)
+        e_arr = rng.integers(0, s, (e_pad, 2)).astype(np.int32)
+        ev = rng.random(e_pad) < 0.9
+        dists = (rng.random(e_pad) * 10).astype(np.float32)
+        args = (jnp.asarray(e_arr), jnp.asarray(ev), jnp.asarray(dists), th)
+        g_full, conn_full = gr.group_nearby_clusters_sequential(
+            g, *args, compact_budget=e_pad)
+        g_comp, conn_comp = gr.group_nearby_clusters_sequential(
+            g, *args, compact_budget=budget)
+        np.testing.assert_array_equal(np.asarray(g_full.root),
+                                      np.asarray(g_comp.root))
+        np.testing.assert_array_equal(np.asarray(g_full.ins_label),
+                                      np.asarray(g_comp.ins_label))
+        np.testing.assert_array_equal(np.asarray(g_full.point_num),
+                                      np.asarray(g_comp.point_num))
+        np.testing.assert_array_equal(np.asarray(conn_full),
+                                      np.asarray(conn_comp))
+        n_elig = int((ev & (dists <= th)).sum())
+        print(f"th={th} eligible={n_elig} budget={budget}")

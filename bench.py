@@ -707,8 +707,13 @@ def _run_pointgroup():
 
 
 def _run_pointgroup_half():
+    # split-jit here too: r5 measured BOTH the fused 2^18 program and the
+    # split 2^19 prog_b dying in the remote XLA:TPU compile helper (same
+    # "topology v5e:1x1x1" RPC abort after 37-52 min); the split 2^18
+    # prog_a/prog_b are the largest units this toolchain has built.
     dev, pipe = stage2_pointgroup_s_per_iter(point_cap=2 ** 18,
-                                             voxel_cap=2 ** 17)
+                                             voxel_cap=2 ** 17,
+                                             split_jit=True)
     out = {"measured_at": "pts=2^18 vox=2^17",
            "s_per_iter_device_step": round(dev, 3),
            "note": "half capacity fallback; the step program is "
@@ -728,8 +733,12 @@ SECTIONS = {
     "minkunet": (_run_minkunet, 600),
     "minkunet_big": (_run_minkunet_big, 600),
     "kpconv": (_run_kpconv, 600),
-    "pointgroup": (_run_pointgroup, 900),
-    "pointgroup_half": (_run_pointgroup_half, 600),  # fallback only
+    # pointgroup full budget: the compile is a KNOWN remote-helper OOM (r5
+    # close: split 2^19 prog_b aborts after ~52 min, fused 2^18 after ~37);
+    # a short cap fails the attempt fast and leaves driver budget for the
+    # half fallback, whose split programs are pre-warmed in .jax_cache.
+    "pointgroup": (_run_pointgroup, 300),
+    "pointgroup_half": (_run_pointgroup_half, 600),  # fallback
     # test-only sections (never in SECTION_ORDER): exercise the
     # orchestrator's timeout/crash/budget paths in milliseconds
     "_test_fast": (lambda: {"ok": 1}, 60),

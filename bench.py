@@ -754,8 +754,8 @@ SECTIONS = {
     # a short cap fails the attempt fast and leaves driver budget for the
     # half fallback, whose split programs are pre-warmed in .jax_cache.
     "pointgroup": (_run_pointgroup, 300),
-    "pointgroup_half": (_run_pointgroup_half, 600),  # fallback
-    "pointgroup_quarter": (_run_pointgroup_quarter, 600),  # last resort
+    "pointgroup_half": (_run_pointgroup_half, 480),  # fallback
+    "pointgroup_quarter": (_run_pointgroup_quarter, 480),  # last resort
     # test-only sections (never in SECTION_ORDER): exercise the
     # orchestrator's timeout/crash/budget paths in milliseconds
     "_test_fast": (lambda: {"ok": 1}, 60),
@@ -869,9 +869,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default=None, help="child mode: run one "
                     "section and print its payload")
-    ap.add_argument("--budget_s", type=float, default=1200.0,
+    ap.add_argument("--budget_s", type=float, default=2100.0,
                     help="global wall-clock budget; sections that don't fit "
-                    "are recorded as skipped, never killed at rc 124")
+                    "are recorded as skipped, never killed at rc 124. Sized "
+                    "so the warm sections (~500s) + the PG fail-fast->"
+                    "fallback chain (300+480+~300s) fit; the headline lands "
+                    "in the first ~2 min regardless, and a combined line is "
+                    "printed after every section, so an external kill still "
+                    "leaves the best snapshot parseable")
     ap.add_argument("--sections", default=None,
                     help="comma-separated subset to run (parent mode)")
     ap.add_argument("--cap_scale", type=float, default=1.0,
